@@ -1,0 +1,227 @@
+"""Config system (SURVEY.md C1c).
+
+The reference used ``tf.app.flags`` plus hardcoded dicts for: learning rates,
+batch size, iteration counts, the plug-and-play adaptation depth ``d``, the
+multi-level feature-tap selection, the discriminator:generator step ratio, and
+checkpoint paths.  Here every knob is a frozen dataclass field, JSON
+round-trippable, with the paper's ablation axes (``plug_depth``,
+``critic.taps``) first-class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    """One stage of the dilated-residual segmenter (SURVEY M1).
+
+    The paper's backbone downsamples x8 via strided residual modules, then
+    holds 1/8 resolution with dilation-2 (and deeper dilation-4) residual
+    modules [P1 Fig.2].
+    """
+
+    name: str
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    blocks: int = 2
+
+
+# Paper-faithful default backbone: widths grow 16 -> 512, x8 total stride,
+# dilated tail at 1/8 resolution [P1 Fig.2; SURVEY M1].
+DEFAULT_STAGES: Tuple[StageSpec, ...] = (
+    StageSpec("stem", 16, stride=1, dilation=1, blocks=1),
+    StageSpec("rm1", 32, stride=2, dilation=1, blocks=2),
+    StageSpec("rm2", 64, stride=2, dilation=1, blocks=2),
+    StageSpec("rm3", 128, stride=2, dilation=1, blocks=2),
+    StageSpec("rm4", 256, stride=1, dilation=2, blocks=2),
+    StageSpec("rm5", 512, stride=1, dilation=2, blocks=2),
+    StageSpec("rm6", 512, stride=1, dilation=4, blocks=2),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmenterConfig:
+    """M1: 2D dilated-residual FCN. 256x256x3 in, 5-class softmax out."""
+
+    in_channels: int = 3
+    num_classes: int = 5
+    stages: Tuple[StageSpec, ...] = DEFAULT_STAGES
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-5
+    # Compute dtype for conv/matmul inputs; params + BN stats stay f32.
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def total_stride(self) -> int:
+        s = 1
+        for st in self.stages:
+            s *= st.stride
+        return s
+
+    def stage_names(self) -> Tuple[str, ...]:
+        return tuple(st.name for st in self.stages)
+
+
+@dataclasses.dataclass(frozen=True)
+class CriticConfig:
+    """M3 + M4: feature-space PatchGAN domain critic over multi-level taps.
+
+    ``taps`` selects WHICH frozen-layer activations feed the critic
+    (SURVEY M4); each tap is 1x1-compressed to ``compress_features`` channels,
+    resized to the coarsest tap's spatial grid, and concatenated.
+    """
+
+    taps: Tuple[str, ...] = ("rm4", "rm6")
+    compress_features: int = 64
+    widths: Tuple[int, ...] = (64, 128, 256, 512)
+    strides: Tuple[int, ...] = (2, 2, 2, 1)
+    lrelu_slope: float = 0.2
+    # "multi" = one critic per tap with summed losses (BASELINE config 5);
+    # "concat" = single critic over channel-concatenated taps.
+    mode: str = "concat"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """L1/D1-D4: slice geometry, batching, augmentation."""
+
+    slice_size: int = 256
+    context_slices: int = 3  # adjacent slices stacked as channels [P1 SIV]
+    num_classes: int = 5
+    batch_size: int = 8
+    # Augmentation (D3): joint image+label random flip / rotate / zoom.
+    flip: bool = True
+    rotate_degrees: float = 15.0
+    zoom_range: Tuple[float, float] = (0.9, 1.1)
+    shift_pixels: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SourceTrainConfig:
+    """T1: supervised source-segmenter training (weighted xent + soft Dice)."""
+
+    lr: float = 1e-3
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.0
+    steps: int = 20000
+    xent_weight: float = 1.0
+    dice_weight: float = 1.0
+    # Per-class weights for the cross-entropy (background down-weighted);
+    # None = auto inverse-frequency from the batch.
+    class_weights: Tuple[float, ...] | None = None
+    lr_schedule: str = "constant"  # "constant" | "cosine"
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptConfig:
+    """T2/T3: PnP-AdaNet adversarial adaptation.
+
+    ``plug_depth`` names the LAST stage included in the DAM (the paper's
+    ablated depth ``d``; "middle" plug-in was best [P1 SV]).  ``k_d``/``k_g``
+    set the alternating critic:generator step ratio inside the single fused
+    train step.  ``pretrain_steps`` is the discriminator warm-up phase
+    (BASELINE config 3).
+    """
+
+    plug_depth: str = "rm3"
+    k_d: int = 1
+    k_g: int = 1
+    lr_d: float = 1e-4
+    lr_g: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    steps: int = 10000
+    pretrain_steps: int = 0
+    gan_loss: str = "nonsat"  # "nonsat" | "lsgan"
+    label_smooth: float = 0.0
+    # BN handling in the frozen higher-layer module on the target path:
+    # "batch"  — frozen params but batch statistics from target activations
+    # "frozen" — use the source running statistics everywhere
+    hlm_bn: str = "batch"
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Rebuild-added: data-parallel over an ICI mesh (SURVEY S2 table)."""
+
+    data_axis: str = "data"
+    sync_bn: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    seed: int = 0
+    log_every: int = 50
+    ckpt_every: int = 1000
+    ckpt_dir: str = "checkpoints"
+    metrics_path: str = "metrics.jsonl"
+    use_pallas: bool = False
+    donate: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Bundle of everything; JSON round-trippable."""
+
+    segmenter: SegmenterConfig = SegmenterConfig()
+    critic: CriticConfig = CriticConfig()
+    data: DataConfig = DataConfig()
+    source: SourceTrainConfig = SourceTrainConfig()
+    adapt: AdaptConfig = AdaptConfig()
+    parallel: ParallelConfig = ParallelConfig()
+    run: RunConfig = RunConfig()
+
+    # ------------------------------------------------------------------ JSON
+    def to_json(self) -> str:
+        def enc(o):
+            if dataclasses.is_dataclass(o):
+                return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
+            if isinstance(o, (tuple, list)):
+                return [enc(v) for v in o]
+            if o is jnp.float32 or o is jnp.bfloat16:
+                return jnp.dtype(o).name
+            if isinstance(o, dict):
+                return {k: enc(v) for k, v in o.items()}
+            return o
+
+        return json.dumps(enc(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "ExperimentConfig":
+        raw = json.loads(text)
+        return ExperimentConfig(
+            segmenter=_seg_from(raw.get("segmenter", {})),
+            critic=_mk(CriticConfig, raw.get("critic", {})),
+            data=_mk(DataConfig, raw.get("data", {})),
+            source=_mk(SourceTrainConfig, raw.get("source", {})),
+            adapt=_mk(AdaptConfig, raw.get("adapt", {})),
+            parallel=_mk(ParallelConfig, raw.get("parallel", {})),
+            run=_mk(RunConfig, raw.get("run", {})),
+        )
+
+
+def _tupled(v):
+    return tuple(v) if isinstance(v, list) else v
+
+
+def _mk(cls, d):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kw = {k: _tupled(v) for k, v in d.items() if k in fields}
+    return cls(**kw)
+
+
+def _seg_from(d):
+    d = dict(d)
+    if "stages" in d:
+        d["stages"] = tuple(_mk(StageSpec, s) for s in d["stages"])
+    if "compute_dtype" in d and isinstance(d["compute_dtype"], str):
+        d["compute_dtype"] = jnp.dtype(d["compute_dtype"]).type
+    return _mk(SegmenterConfig, d)

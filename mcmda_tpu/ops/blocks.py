@@ -1,0 +1,93 @@
+"""Residual / dilated-residual blocks (SURVEY L2, M1 building units).
+
+Post-activation residual unit: conv-BN-ReLU -> conv-BN, identity (or strided
+1x1 projection) skip, final ReLU.  Dilation applies to both convs — this is
+the "dilated residual module" of the PnP-AdaNet backbone [P1 Fig.2].
+
+Pytree layout per block::
+
+    params = {"conv1": {...}, "bn1": {...}, "conv2": {...}, "bn2": {...},
+              ["proj": {...}, "bn_p": {...}]}
+    state  = {"bn1": {...}, "bn2": {...}, ["bn_p": {...}]}
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mcmda_tpu.ops import layers
+
+
+def residual_block_init(key, cin: int, cout: int, stride: int = 1):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {"conv1": layers.conv_init(k1, 3, 3, cin, cout),
+              "conv2": layers.conv_init(k2, 3, 3, cout, cout)}
+    state = {}
+    params["bn1"], state["bn1"] = layers.bn_init(cout)
+    params["bn2"], state["bn2"] = layers.bn_init(cout)
+    if stride != 1 or cin != cout:
+        params["proj"] = layers.conv_init(k3, 1, 1, cin, cout)
+        params["bn_p"], state["bn_p"] = layers.bn_init(cout)
+    return params, state
+
+
+def residual_block_apply(
+    params,
+    state,
+    x,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    train: bool = False,
+    momentum: float = 0.99,
+    eps: float = 1e-5,
+    axis_name=None,
+    compute_dtype=jnp.float32,
+):
+    new_state = {}
+    h = layers.conv_apply(params["conv1"], x, stride=stride, dilation=dilation,
+                          compute_dtype=compute_dtype)
+    h, new_state["bn1"] = layers.bn_apply(params["bn1"], state["bn1"], h, train,
+                                          momentum, eps, axis_name)
+    h = layers.relu(h)
+    h = layers.conv_apply(params["conv2"], h, stride=1, dilation=dilation,
+                          compute_dtype=compute_dtype)
+    h, new_state["bn2"] = layers.bn_apply(params["bn2"], state["bn2"], h, train,
+                                          momentum, eps, axis_name)
+    if "proj" in params:
+        sc = layers.conv_apply(params["proj"], x, stride=stride,
+                               compute_dtype=compute_dtype)
+        sc, new_state["bn_p"] = layers.bn_apply(params["bn_p"], state["bn_p"], sc,
+                                                train, momentum, eps, axis_name)
+    else:
+        sc = x
+    return layers.relu(h + sc), new_state
+
+
+def stage_init(key, cin: int, spec):
+    """A stage = `spec.blocks` residual blocks; the first carries the stride/
+    channel change."""
+    keys = jax.random.split(key, spec.blocks)
+    params, state = {}, {}
+    c = cin
+    for i in range(spec.blocks):
+        bp, bs = residual_block_init(keys[i], c, spec.features,
+                                     stride=spec.stride if i == 0 else 1)
+        params[f"b{i}"] = bp
+        state[f"b{i}"] = bs
+        c = spec.features
+    return params, state
+
+
+def stage_apply(params, state, x, spec, *, train=False, momentum=0.99, eps=1e-5,
+                axis_name=None, compute_dtype=jnp.float32):
+    new_state = {}
+    for i in range(spec.blocks):
+        x, new_state[f"b{i}"] = residual_block_apply(
+            params[f"b{i}"], state[f"b{i}"], x,
+            stride=spec.stride if i == 0 else 1,
+            dilation=spec.dilation,
+            train=train, momentum=momentum, eps=eps,
+            axis_name=axis_name, compute_dtype=compute_dtype)
+    return x, new_state

@@ -1,0 +1,171 @@
+"""T2 + T3: PnP-AdaNet adversarial adaptation as a SINGLE jitted train step.
+
+The reference alternated two ``sess.run`` calls (k_d critic steps, then k_g
+DAM steps) per iteration (SURVEY section 3.2).  Here both phases live inside
+one jitted function — the inner k_d/k_g repeats are statically unrolled, each
+with fresh augmentation randomness — so the whole minimax update is one XLA
+program per step (the north star's "single jitted train step").
+
+Frozen/trainable split (M2): gradients are taken ONLY wrt ``dam_params`` (the
+target Domain Adaptation Module — a pytree filter of the first stages) and
+``critic_params``; the source path and the Higher-Layer Module read
+``src_params`` and are frozen by construction (never touched by an optimizer).
+
+Checkpoint handoff (K1): ``init_state`` copies the phase-1 source checkpoint
+into BOTH the frozen source path and the DAM initialization [P1 SIII].
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mcmda_tpu.config import ExperimentConfig
+from mcmda_tpu.data import pipeline
+from mcmda_tpu.models import critic as critic_mod
+from mcmda_tpu.models import segmenter
+from mcmda_tpu.ops import losses
+from mcmda_tpu.train import optim
+
+
+@struct.dataclass
+class AdaptState:
+    src_params: Any      # frozen source segmenter (full tree)
+    src_bn: Any          # frozen source running stats
+    dam_params: Any      # trainable target DAM (stages <= plug_depth)
+    tgt_bn: Any          # target-path BN state (its own running stats)
+    critic_params: Any
+    opt_g_state: Any
+    opt_d_state: Any
+    step: jnp.ndarray
+
+
+def make_txs(cfg: ExperimentConfig):
+    a = cfg.adapt
+    tx_g = optim.make_optimizer(a.lr_g, a.beta1, a.beta2)
+    tx_d = optim.make_optimizer(a.lr_d, a.beta1, a.beta2)
+    return tx_g, tx_d
+
+
+def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
+    """Boot adaptation from a phase-1 source checkpoint (K1 handoff)."""
+    dam = segmenter.dam_init_from_source(src_params, cfg.segmenter,
+                                         cfg.adapt.plug_depth)
+    critic_params = critic_mod.init(rng, cfg.critic, cfg.segmenter)
+    tx_g, tx_d = make_txs(cfg)
+    return AdaptState(
+        src_params=src_params,
+        src_bn=src_bn,
+        dam_params=dam,
+        tgt_bn=jax.tree.map(jnp.array, src_bn),
+        critic_params=critic_params,
+        opt_g_state=tx_g.init(dam),
+        opt_d_state=tx_d.init(critic_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
+                    train_g: bool = True, augment: bool = True):
+    """Returns step(state, batch, rng) -> (state, metrics).
+
+    batch = {"src_image": [B,H,W,C], "tgt_image": [B,H,W,C]} (both unlabeled —
+    the critic sees only features [P1 SIII-B]).  ``train_g=False`` is the
+    discriminator-pretrain phase (T3 / BASELINE config 3).
+    """
+    a = cfg.adapt
+    seg_cfg = cfg.segmenter
+    cr_cfg = cfg.critic
+    tx_g, tx_d = make_txs(cfg)
+    d_loss_fn, g_loss_fn = losses.gan_losses(a.gan_loss)
+    bn_train_stages = (frozenset(segmenter.dam_stage_names(seg_cfg, a.plug_depth))
+                       if a.hlm_bn == "frozen" else None)
+
+    def src_taps(src_params, src_bn, x):
+        # frozen source path; batch-stat features (stats not persisted) keep
+        # the two critic inputs statistically comparable
+        _, _, taps, _ = segmenter.apply(src_params, src_bn, x, seg_cfg,
+                                        train=True, axis_name=axis_name)
+        return taps
+
+    def tgt_forward(dam_params, state: AdaptState, x):
+        _, _, taps, new_bn = segmenter.apply(
+            state.src_params, state.tgt_bn, x, seg_cfg, train=True,
+            axis_name=axis_name, dam_params=dam_params,
+            plug_depth=a.plug_depth, bn_train_stages=bn_train_stages)
+        return taps, new_bn
+
+    def d_step(state: AdaptState, x_src, x_tgt):
+        f_src = src_taps(state.src_params, state.src_bn, x_src)
+        f_tgt, _ = tgt_forward(state.dam_params, state, x_tgt)
+
+        def loss(critic_params):
+            l_s = critic_mod.flatten_logits(
+                critic_mod.apply(critic_params, f_src, cr_cfg))
+            l_t = critic_mod.flatten_logits(
+                critic_mod.apply(critic_params, f_tgt, cr_cfg))
+            return d_loss_fn(l_s, l_t, a.label_smooth), (l_s, l_t)
+
+        (dl, (l_s, l_t)), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.critic_params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = tx_d.update(grads, state.opt_d_state,
+                                       state.critic_params)
+        new_critic = jax.tree.map(lambda p, u: p + u, state.critic_params,
+                                  updates)
+        acc = losses.critic_accuracy(l_s, l_t)
+        return state.replace(critic_params=new_critic, opt_d_state=new_opt), \
+            {"d_loss": dl, "d_acc": acc}
+
+    def g_step(state: AdaptState, x_tgt):
+        def loss(dam_params):
+            f_tgt, new_bn = tgt_forward(dam_params, state, x_tgt)
+            l_t = critic_mod.flatten_logits(
+                critic_mod.apply(state.critic_params, f_tgt, cr_cfg))
+            return g_loss_fn(l_t), new_bn
+
+        (gl, new_bn), grads = jax.value_and_grad(loss, has_aux=True)(
+            state.dam_params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = tx_g.update(grads, state.opt_g_state,
+                                       state.dam_params)
+        new_dam = jax.tree.map(lambda p, u: p + u, state.dam_params, updates)
+        return state.replace(dam_params=new_dam, opt_g_state=new_opt,
+                             tgt_bn=new_bn), {"g_loss": gl}
+
+    def step(state: AdaptState, batch, rng):
+        metrics = {}
+        for i in range(a.k_d):
+            k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
+            x_s = pipeline.augment_images(k1, batch["src_image"], cfg.data) \
+                if augment else batch["src_image"]
+            x_t = pipeline.augment_images(k2, batch["tgt_image"], cfg.data) \
+                if augment else batch["tgt_image"]
+            state, m = d_step(state, x_s, x_t)
+            metrics.update(m)
+        if train_g:
+            for i in range(a.k_g):
+                kt = jax.random.fold_in(rng, 1000 + i)
+                x_t = pipeline.augment_images(kt, batch["tgt_image"], cfg.data) \
+                    if augment else batch["tgt_image"]
+                state, m = g_step(state, x_t)
+                metrics.update(m)
+        return state.replace(step=state.step + 1), metrics
+
+    return step
+
+
+def adapted_forward(cfg: ExperimentConfig):
+    """E1 inference path of the ADAPTED net: target DAM + frozen HLM,
+    eval-mode BN from the target-path running stats."""
+    def fwd(state: AdaptState, image):
+        _, probs, _, _ = segmenter.apply(
+            state.src_params, state.tgt_bn, image, cfg.segmenter, train=False,
+            dam_params=state.dam_params, plug_depth=cfg.adapt.plug_depth)
+        return probs
+    return fwd

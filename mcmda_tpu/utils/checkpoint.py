@@ -1,0 +1,66 @@
+"""Checkpoint / restore (SURVEY K1).
+
+Replaces ``tf.train.Saver`` with Orbax (async-capable, TPU-sharding-aware)
+plus a dependency-free npz fallback.  The critical reference semantic is
+preserved at the call sites (train/adapt.py): the phase-1 source checkpoint
+restores into BOTH the frozen source path and the target DAM initialization
+[P1 SIII; SURVEY K1].
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+try:  # orbax is in the image; fallback keeps tests hermetic
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _flatten(tree) -> dict:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
+
+
+def save(path: str, tree: Any, step: int | None = None) -> str:
+    """Save a pytree. Returns the concrete checkpoint path."""
+    if step is not None:
+        path = os.path.join(path, f"step_{step:08d}")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if _HAVE_ORBAX:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, tree),
+                   force=True)
+        ckptr.wait_until_finished()
+    else:  # pragma: no cover
+        np.savez(path + ".npz", **_flatten(tree))
+    return path
+
+
+def restore(path: str, like: Any) -> Any:
+    """Restore a pytree with the structure/dtypes of ``like``."""
+    if _HAVE_ORBAX and os.path.isdir(path):
+        ckptr = ocp.StandardCheckpointer()
+        target = jax.tree.map(np.asarray, like)
+        out = ckptr.restore(os.path.abspath(path), target=target)
+        return jax.tree.map(jax.numpy.asarray, out)
+    flat = np.load(path + ".npz" if not path.endswith(".npz") else path)
+    leaves, _ = jax.tree_util.tree_flatten_with_path(like)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(like),
+        [jax.numpy.asarray(flat[jax.tree_util.keystr(kp)]) for kp, _ in leaves])
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    """Find the newest step_XXXXXXXX checkpoint for restart-from-latest."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(m.group(1)) for n in os.listdir(ckpt_dir)
+             if (m := re.match(r"step_(\d+)", n))]
+    return max(steps) if steps else None

@@ -1,0 +1,40 @@
+"""Structured metrics + console logging (SURVEY O1).
+
+The reference wrote tf.summary scalars for TensorBoard; the rebuild writes
+JSONL (one record per log step: {"step": n, "wall": t, **scalars}) which
+TensorBoard-compatible tooling or plain pandas can consume, plus concise
+console lines.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import IO, Mapping
+
+
+class MetricsLogger:
+    def __init__(self, path: str | None = None, echo: bool = True,
+                 stream: IO | None = None):
+        self.path = path
+        self.echo = echo
+        self.stream = stream or sys.stdout
+        self._fh = open(path, "a") if path else None
+        self._t0 = time.time()
+
+    def log(self, step: int, scalars: Mapping[str, float]) -> None:
+        rec = {"step": int(step), "wall": round(time.time() - self._t0, 3)}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        if self._fh:
+            self._fh.write(json.dumps(rec) + "\n")
+            self._fh.flush()
+        if self.echo:
+            body = " ".join(f"{k}={v:.4g}" for k, v in rec.items()
+                            if k not in ("step", "wall"))
+            print(f"[step {step:>7}] {body}", file=self.stream)
+
+    def close(self) -> None:
+        if self._fh:
+            self._fh.close()
+            self._fh = None

@@ -1,0 +1,96 @@
+"""Distributed tests on the 8-device CPU mesh (SURVEY section 4): DP step
+equivalence with single-device training, sharded eval forward."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmda_tpu.data import synthetic, volumes
+from mcmda_tpu.parallel import dp, mesh as mesh_mod
+from mcmda_tpu.train import adapt, source
+from mcmda_tpu.models import segmenter
+
+
+def _big_batch(cfg, n, domain="mri"):
+    vols, labs = synthetic.make_dataset(0, domain, 2, depth=8, size=32)
+    ds = volumes.volumes_to_slices(vols, labs)
+    reps = int(np.ceil(n / len(ds)))
+    idx = np.tile(np.arange(len(ds)), reps)[:n]
+    return {"image": jnp.asarray(ds.images[idx]),
+            "label": jnp.asarray(np.eye(5, dtype=np.float32)[ds.labels[idx]])}
+
+
+def test_dp_matches_single_device(tiny_config, eight_devices):
+    """One DP step over 8 shards == one single-device step on the full batch
+    (same grads via pmean; sync BN via psum)."""
+    cfg = tiny_config
+    m = mesh_mod.make_mesh(8)
+    batch = _big_batch(cfg, 16)
+
+    s0 = source.init_state(jax.random.key(0), cfg)
+    single = jax.jit(source.make_train_step(cfg, augment=False))
+    s_single, m_single = single(s0, batch, jax.random.key(9))
+
+    s0b = source.init_state(jax.random.key(0), cfg)
+    dp_step = dp.data_parallel_step(
+        source.make_train_step(cfg, axis_name="data", augment=False), m,
+        donate=False)
+    s_dp, m_dp = dp_step(s0b, batch, jax.random.key(9))
+
+    np.testing.assert_allclose(float(m_single["loss"]), float(m_dp["loss"]),
+                               rtol=1e-4)
+    # Adam's g/(sqrt(v)+eps) amplifies float reduction-order noise for tiny
+    # grads; 5e-4 on params after one step is well inside that envelope.
+    for a, b in zip(jax.tree.leaves(s_single.params),
+                    jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    for a, b in zip(jax.tree.leaves(s_single.bn_state),
+                    jax.tree.leaves(s_dp.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_adapt_step_runs(tiny_config, eight_devices):
+    cfg = tiny_config
+    m = mesh_mod.make_mesh(8)
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    step = dp.data_parallel_step(
+        adapt.make_adapt_step(cfg, axis_name="data", augment=False), m,
+        donate=False)
+    batch = {"src_image": _big_batch(cfg, 16)["image"],
+             "tgt_image": _big_batch(cfg, 16, "ct")["image"]}
+    new_state, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_sharded_eval_forward(tiny_config, eight_devices):
+    cfg = tiny_config
+    m = mesh_mod.make_mesh(8)
+    params, bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    fwd = source.make_eval_forward(cfg)
+    sharded = dp.data_parallel_forward(fwd, m)
+    imgs = jnp.ones((16, 32, 32, 3))
+    probs = sharded(params, bn, imgs)
+    ref = jax.jit(fwd)(params, bn, imgs)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref), atol=1e-5)
+
+
+def test_rng_per_shard_differs(tiny_config, eight_devices):
+    """Augmentation rng is folded with axis_index: shards see different keys."""
+    cfg = tiny_config
+    m = mesh_mod.make_mesh(8)
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @partial(shard_map, mesh=m, in_specs=(P(),), out_specs=P("data"),
+             check_rep=False)
+    def keys_fn(rng):
+        k = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        return jax.random.uniform(k, (1,))
+
+    vals = np.asarray(keys_fn(jax.random.key(0)))
+    assert len(np.unique(vals)) == 8

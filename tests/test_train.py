@@ -1,0 +1,121 @@
+"""Trainer tests (SURVEY section 4 integration tier): overfit-one-batch for
+T1; adaptation step mechanics for T2/T3 — frozen parts stay frozen, critic
+learns in pretrain, generator moves features."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmda_tpu.data import synthetic, volumes
+from mcmda_tpu.models import segmenter
+from mcmda_tpu.train import adapt, source
+
+
+def _batch(tiny_config, seed=0, domain="mri"):
+    vols, labs = synthetic.make_dataset(seed, domain, 1, depth=8, size=32)
+    ds = volumes.volumes_to_slices(vols, labs)
+    idx = np.arange(tiny_config.data.batch_size)
+    return {
+        "image": jnp.asarray(ds.images[idx]),
+        "label": jnp.asarray(np.eye(5, dtype=np.float32)[ds.labels[idx]]),
+    }
+
+
+def test_source_overfit_one_batch(tiny_config):
+    cfg = tiny_config
+    state = source.init_state(jax.random.key(0), cfg)
+    step = jax.jit(source.make_train_step(cfg, augment=False))
+    batch = _batch(cfg)
+    rng = jax.random.key(1)
+    _, first = step(state, batch, rng)
+    for i in range(60):
+        state, metrics = step(state, batch, rng)
+    assert float(metrics["loss"]) < 0.5 * float(first["loss"])
+    assert int(state.step) == 60
+
+
+def test_source_step_jit_stability(tiny_config):
+    """Metrics finite; bn state actually updates."""
+    cfg = tiny_config
+    state = source.init_state(jax.random.key(0), cfg)
+    step = jax.jit(source.make_train_step(cfg, augment=True))
+    s2, metrics = step(state, _batch(cfg), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    before = state.bn_state["rm1"]["b0"]["bn1"]["mean"]
+    after = s2.bn_state["rm1"]["b0"]["bn1"]["mean"]
+    assert float(jnp.abs(after - before).sum()) > 0
+
+
+@pytest.fixture(scope="module")
+def adapt_setup(tiny_config):
+    cfg = tiny_config
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    batch = {"src_image": _batch(cfg, 0, "mri")["image"],
+             "tgt_image": _batch(cfg, 0, "ct")["image"]}
+    return cfg, state, batch
+
+
+def test_adapt_dam_initialized_from_source(adapt_setup):
+    cfg, state, _ = adapt_setup
+    dam_src, _ = segmenter.dam_split(state.src_params, cfg.segmenter,
+                                     cfg.adapt.plug_depth)
+    for a, b in zip(jax.tree.leaves(state.dam_params),
+                    jax.tree.leaves(dam_src)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_adapt_step_freezes_source_and_hlm(adapt_setup):
+    cfg, state, batch = adapt_setup
+    step = jax.jit(adapt.make_adapt_step(cfg, augment=False))
+    new_state, metrics = step(state, batch, jax.random.key(2))
+    # source path untouched
+    for a, b in zip(jax.tree.leaves(state.src_params),
+                    jax.tree.leaves(new_state.src_params)):
+        np.testing.assert_allclose(a, b)
+    # DAM and critic moved
+    moved = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree.leaves(state.dam_params),
+        jax.tree.leaves(new_state.dam_params)))
+    assert moved > 0
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_pretrain_step_skips_generator(adapt_setup):
+    cfg, state, batch = adapt_setup
+    step = jax.jit(adapt.make_adapt_step(cfg, train_g=False, augment=False))
+    new_state, metrics = step(state, batch, jax.random.key(2))
+    assert "g_loss" not in metrics
+    for a, b in zip(jax.tree.leaves(state.dam_params),
+                    jax.tree.leaves(new_state.dam_params)):
+        np.testing.assert_allclose(a, b)
+
+
+def test_critic_pretrain_learns_to_separate(adapt_setup):
+    """T3: with frozen features, the critic's accuracy should rise well above
+    chance within a few dozen steps on clearly-shifted domains."""
+    cfg, state, batch = adapt_setup
+    step = jax.jit(adapt.make_adapt_step(cfg, train_g=False, augment=False))
+    for i in range(150):
+        state, metrics = step(state, batch, jax.random.key(i))
+    assert float(metrics["d_acc"]) > 0.8
+
+
+def test_adapted_forward_runs(adapt_setup):
+    cfg, state, batch = adapt_setup
+    fwd = jax.jit(adapt.adapted_forward(cfg))
+    probs = fwd(state, batch["tgt_image"])
+    assert probs.shape == batch["tgt_image"].shape[:3] + (5,)
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_kd_kg_ratio(tiny_config, adapt_setup):
+    cfg, state, batch = adapt_setup
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, adapt=dataclasses.replace(cfg.adapt,
+                                                              k_d=2, k_g=1))
+    step = jax.jit(adapt.make_adapt_step(cfg2, augment=False))
+    new_state, metrics = step(state, batch, jax.random.key(0))
+    assert "d_loss" in metrics and "g_loss" in metrics
