@@ -81,7 +81,7 @@ def apply(
     taps: Dict[str, jnp.ndarray] = {}
     new_state: Dict = {}
     in_dam = dam_params is not None
-    h = x
+    h = x.astype(cfg.compute_dtype)
     for spec in cfg.stages:
         p_src = dam_params if in_dam else params
         p = p_src[spec.name]
@@ -105,9 +105,69 @@ def apply(
         if in_dam and plug_depth is not None and spec.name == plug_depth:
             in_dam = False  # hand off to the frozen HLM
     logits_low = layers.conv_apply(params["head"], h, compute_dtype=cfg.compute_dtype)
+    # losses/softmax want f32; upsample in compute dtype (cheaper), then cast
     logits = layers.bilinear_upsample(logits_low, cfg.total_stride)
+    logits = logits.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     return logits, probs, taps, new_state
+
+
+# ------------------------------------------------------- fused inference path
+def apply_fused_eval(params, state, x, cfg: SegmenterConfig, *,
+                     dam_params=None, plug_depth: str | None = None,
+                     use_pallas: bool = True):
+    """Eval-mode forward on the Pallas-fused path (E1 hot loop).
+
+    Every stride-1 residual block runs as two fused conv+BN-affine+activation
+    kernels (the second carrying the residual add); strided blocks, 1x1s and
+    the head stay on XLA.  Exactly matches ``apply(..., train=False)`` up to
+    float reassociation — tested in tests/test_kernels.py.
+
+    Returns (logits, probs).
+    """
+    from mcmda_tpu.kernels import fused_conv as fk
+
+    conv_bn_act = (fk.conv_bn_act_auto if use_pallas
+                   else fk.conv_bn_act_reference)
+    in_dam = dam_params is not None
+    h = x
+    for spec in cfg.stages:
+        p_src = dam_params if in_dam else params
+        p = p_src[spec.name]
+        st = state[spec.name]
+        if spec.name == "stem":
+            scale, bias = fk.fold_bn(p["bn"], st["bn"], cfg.bn_eps)
+            h = conv_bn_act(h, p["conv"]["w"], scale, bias,
+                            dilation=1, activation="relu")
+        else:
+            for i in range(spec.blocks):
+                bp, bs = p[f"b{i}"], st[f"b{i}"]
+                stride = spec.stride if i == 0 else 1
+                if stride != 1:
+                    # strided block: XLA path (eval-mode BN)
+                    h, _ = blocks.residual_block_apply(
+                        bp, bs, h, stride=stride, dilation=spec.dilation,
+                        train=False, eps=cfg.bn_eps,
+                        compute_dtype=cfg.compute_dtype)
+                    continue
+                s1, b1 = fk.fold_bn(bp["bn1"], bs["bn1"], cfg.bn_eps)
+                s2, b2 = fk.fold_bn(bp["bn2"], bs["bn2"], cfg.bn_eps)
+                h1 = conv_bn_act(h, bp["conv1"]["w"], s1, b1,
+                                 dilation=spec.dilation, activation="relu")
+                if "proj" in bp:
+                    sp_, bp_ = fk.fold_bn(bp["bn_p"], bs["bn_p"], cfg.bn_eps)
+                    sc = layers.conv_apply(bp["proj"], h) * sp_ + bp_
+                else:
+                    sc = h
+                h = conv_bn_act(h1, bp["conv2"]["w"], s2, b2,
+                                dilation=spec.dilation, activation="relu",
+                                residual=sc)
+        if in_dam and plug_depth is not None and spec.name == plug_depth:
+            in_dam = False
+    logits_low = layers.conv_apply(params["head"], h,
+                                   compute_dtype=cfg.compute_dtype)
+    logits = layers.bilinear_upsample(logits_low, cfg.total_stride)
+    return logits, jax.nn.softmax(logits, axis=-1)
 
 
 # ------------------------------------------------------------- DAM plumbing

@@ -38,6 +38,13 @@ def conv_apply(p, x, stride: int = 1, dilation: int = 1, compute_dtype=jnp.float
 
     Dilated convolution is the backbone's key op [P1 Fig.2]; on TPU it lowers
     to an MXU conv with rhs_dilation — no im2col on the host, no custom op.
+
+    Mixed precision: operands cast to ``compute_dtype`` (bf16 doubles MXU
+    throughput; the MXU still accumulates bf16 products in f32 internally)
+    and the output stays in compute_dtype so the autodiff transpose is
+    well-typed — forcing an f32 output via preferred_element_type would hand
+    the transpose f32 cotangents against bf16 operands, which lax.conv
+    rejects.  Params stay f32 masters.
     """
     w = p["w"].astype(compute_dtype)
     y = lax.conv_general_dilated(
@@ -47,10 +54,11 @@ def conv_apply(p, x, stride: int = 1, dilation: int = 1, compute_dtype=jnp.float
         padding="SAME",
         rhs_dilation=(dilation, dilation),
         dimension_numbers=DIMSPEC,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(jnp.float32 if compute_dtype == jnp.float32
+                                else None),
     )
     if "b" in p:
-        y = y + p["b"]
+        y = y + p["b"].astype(y.dtype)
     return y
 
 

@@ -1,0 +1,113 @@
+"""Pallas kernel tests vs the XLA oracle (SURVEY section 4 unit tier).
+
+On CPU the kernels run in TPU-interpret mode — same program, interpreted —
+so these tests validate kernel logic without a chip; the real-TPU compile
+path is exercised by bench.py / scripts on hardware.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mcmda_tpu.kernels import fused_conv as fk
+from mcmda_tpu.models import segmenter
+from mcmda_tpu.ops import layers
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.key(key), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4])
+@pytest.mark.parametrize("activation", ["relu", "none"])
+def test_fused_conv_matches_oracle(dilation, activation):
+    x = _rand(0, (2, 16, 16, 8))
+    w = _rand(1, (3, 3, 8, 16)) * 0.1
+    scale = jnp.abs(_rand(2, (16,))) + 0.5
+    bias = _rand(3, (16,))
+    ref = fk.conv_bn_act_reference(x, w, scale, bias, dilation=dilation,
+                                   activation=activation)
+    with pltpu.force_tpu_interpret_mode():
+        got = fk.conv_bn_act_pallas(x, w, scale, bias, dilation=dilation,
+                                    activation=activation, k_tile=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fused_conv_residual_and_ktiling():
+    x = _rand(0, (1, 8, 8, 16))
+    w = _rand(1, (3, 3, 16, 32)) * 0.1
+    scale = jnp.ones((32,))
+    bias = jnp.zeros((32,))
+    res = _rand(2, (1, 8, 8, 32))
+    ref = fk.conv_bn_act_reference(x, w, scale, bias, residual=res)
+    with pltpu.force_tpu_interpret_mode():
+        got = fk.conv_bn_act_pallas(x, w, scale, bias, residual=res, k_tile=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fold_bn_matches_bn_apply():
+    bn_p = {"scale": jnp.asarray([2.0, 0.5]), "bias": jnp.asarray([1.0, -1.0])}
+    bn_s = {"mean": jnp.asarray([0.3, -0.2]), "var": jnp.asarray([4.0, 0.25])}
+    x = _rand(0, (2, 4, 4, 2))
+    y_ref, _ = layers.bn_apply(bn_p, bn_s, x, train=False, eps=1e-5)
+    s, b = fk.fold_bn(bn_p, bn_s, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(x * s + b), np.asarray(y_ref),
+                               atol=1e-5)
+
+
+def test_custom_vjp_grads_match_xla():
+    x = _rand(0, (1, 8, 8, 4))
+    w = _rand(1, (3, 3, 4, 8)) * 0.1
+    scale = jnp.abs(_rand(2, (8,))) + 0.5
+    bias = _rand(3, (8,))
+
+    def f_fused(x, w, s, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fk.conv_bn_act(x, w, s, b, 2, "relu") ** 2)
+
+    def f_ref(x, w, s, b):
+        return jnp.sum(fk.conv_bn_act_reference(x, w, s, b, dilation=2) ** 2)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(x, w, scale, bias)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_fused_eval_matches_reference_forward(tiny_config):
+    """Whole-net fused inference == standard eval forward."""
+    cfg = tiny_config.segmenter
+    params, state = segmenter.init(jax.random.key(0), cfg)
+    x = _rand(9, (2, 32, 32, 3))
+    ref_logits, ref_probs, _, _ = segmenter.apply(params, state, x, cfg,
+                                                  train=False)
+    # XLA-fallback fused path (exact math check)
+    logits_f, probs_f = segmenter.apply_fused_eval(params, state, x, cfg,
+                                                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(ref_logits),
+                               atol=1e-4)
+    # pallas path in interpret mode
+    with pltpu.force_tpu_interpret_mode():
+        logits_p, probs_p = segmenter.apply_fused_eval(params, state, x, cfg,
+                                                       use_pallas=True)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(ref_logits),
+                               atol=1e-3)
+
+
+def test_fused_eval_with_dam(tiny_config):
+    cfg = tiny_config.segmenter
+    params, state = segmenter.init(jax.random.key(0), cfg)
+    dam = segmenter.dam_init_from_source(params, cfg, "rm2")
+    dam = jax.tree.map(lambda p: p + 0.05, dam)
+    x = _rand(4, (1, 32, 32, 3))
+    ref, _, _, _ = segmenter.apply(params, state, x, cfg, train=False,
+                                   dam_params=dam, plug_depth="rm2")
+    got, _ = segmenter.apply_fused_eval(params, state, x, cfg,
+                                        dam_params=dam, plug_depth="rm2",
+                                        use_pallas=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
