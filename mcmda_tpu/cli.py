@@ -1,0 +1,260 @@
+"""Command-line drivers (SURVEY L4/L5 + C1c).
+
+The reference exposed ``python source_segmenter.py`` / ``python main.py`` /
+``python evaluate.py`` with tf.app.flags; the rebuild exposes one CLI::
+
+    python -m mcmda_tpu train-source   --config configs/mri2ct.json --out runs/src   [--synthetic]
+    python -m mcmda_tpu adapt          --config ... --source-ckpt runs/src/step_... --out runs/adapt
+    python -m mcmda_tpu evaluate       --config ... --ckpt runs/adapt/step_... [--source-only]
+
+``--synthetic`` swaps the MMWHS volume directories for the generated phantom
+dataset (same code path, smaller shapes come from the config).
+``--set a.b=v`` overrides any config field (the reference's flag knobs:
+adapt.plug_depth, adapt.k_d, critic.taps, lrs, ...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_config(path, overrides):
+    from mcmda_tpu.config import ExperimentConfig
+    if path:
+        with open(path) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+    else:
+        cfg = ExperimentConfig()
+    for ov in overrides or []:
+        key, _, val = ov.partition("=")
+        cfg = _apply_override(cfg, key.split("."), val)
+    return cfg
+
+
+def _apply_override(obj, keys, val):
+    if len(keys) == 1:
+        try:
+            parsed = json.loads(val)
+        except (json.JSONDecodeError, ValueError):
+            parsed = val  # bare string, e.g. plug_depth=rm2
+        if isinstance(parsed, list):
+            parsed = tuple(parsed)
+        return dataclasses.replace(obj, **{keys[0]: parsed})
+    sub = getattr(obj, keys[0])
+    return dataclasses.replace(obj, **{keys[0]: _apply_override(sub, keys[1:],
+                                                                val)})
+
+
+def _get_data(args, cfg, direction):
+    """Returns ((src_vols, src_labs), tgt_train_vols, (tgt_test_vols,
+    tgt_test_labs))."""
+    if args.synthetic:
+        from mcmda_tpu.data import synthetic
+        size = cfg.data.slice_size
+        depth = max(16, size // 4)
+        src_dom, tgt_dom = (("mri", "ct") if direction == "mri2ct"
+                            else ("ct", "mri"))
+        sv, sl = synthetic.make_dataset(0, src_dom, args.synthetic_volumes,
+                                        depth, size)
+        tv, tl = synthetic.make_dataset(0, tgt_dom, args.synthetic_volumes,
+                                        depth, size)
+        n_test = max(1, args.synthetic_volumes // 4)
+        return (sv, sl), tv[:-n_test], (tv[-n_test:], tl[-n_test:])
+    from mcmda_tpu.data import mmwhs
+    return mmwhs.load_benchmark(args.data_root, direction)
+
+
+def _feed(sampler_pairs, prefetch=2, sharding=None):
+    from mcmda_tpu.data import pipeline
+    return pipeline.prefetch_to_device(sampler_pairs, prefetch, sharding)
+
+
+def cmd_train_source(args):
+    import jax
+    from mcmda_tpu.data import pipeline, volumes as vio
+    from mcmda_tpu.train import loop, source
+    from mcmda_tpu.utils import logging as mlog
+
+    cfg = _load_config(args.config, args.set)
+    (src_vols, src_labs), _, _ = _get_data(args, cfg, args.direction)
+    ds = vio.volumes_to_slices(src_vols, src_labs,
+                               context=cfg.data.context_slices,
+                               drop_empty=True)
+    print(f"source training: {len(ds)} slices from {len(src_vols)} volumes",
+          flush=True)
+    state = source.init_state(jax.random.key(cfg.run.seed), cfg)
+    state, start = loop.maybe_resume(args.out, state)
+    step_fn, global_batch = _wrap_dp(cfg, source.make_train_step, args)
+    sampler = iter(pipeline.BatchSampler(ds, global_batch,
+                                         seed=cfg.run.seed + 1,
+                                         num_classes=cfg.data.num_classes))
+    logger = mlog.MetricsLogger(os.path.join(args.out, "metrics.jsonl")
+                                if args.out else None)
+    state, _ = loop.run(step_fn, state, _feed(sampler), cfg.source.steps,
+                        seed=cfg.run.seed, log_every=cfg.run.log_every,
+                        ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
+                        logger=logger, start_step=start)
+    print(f"done; final checkpoint in {args.out}")
+
+
+def _wrap_dp(cfg, make_step, args, **mk_kwargs):
+    import jax
+    if args.dp and args.dp > 1:
+        from mcmda_tpu.parallel import dp, mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(args.dp)
+        step = dp.data_parallel_step(
+            make_step(cfg, axis_name=cfg.parallel.data_axis, **mk_kwargs),
+            mesh, donate=cfg.run.donate)
+        return step, cfg.data.batch_size * args.dp
+    return jax.jit(make_step(cfg, **mk_kwargs),
+                   donate_argnums=(0,) if cfg.run.donate else ()), \
+        cfg.data.batch_size
+
+
+def cmd_adapt(args):
+    import jax
+    from mcmda_tpu.data import pipeline, volumes as vio
+    from mcmda_tpu.train import adapt, loop, source
+    from mcmda_tpu.utils import checkpoint, logging as mlog
+
+    cfg = _load_config(args.config, args.set)
+    (src_vols, src_labs), tgt_train, _ = _get_data(args, cfg, args.direction)
+    src_ds = vio.volumes_to_slices(src_vols, src_labs,
+                                   context=cfg.data.context_slices,
+                                   drop_empty=True)
+    tgt_ds = vio.volumes_to_slices(tgt_train,
+                                   context=cfg.data.context_slices)
+    # K1 handoff: restore the phase-1 source checkpoint into BOTH the frozen
+    # source path and (via init_state) the DAM initialization
+    src_state = source.init_state(jax.random.key(0), cfg)
+    src_state = checkpoint.restore(args.source_ckpt, src_state)
+    state = adapt.init_state(jax.random.key(cfg.run.seed + 2), cfg,
+                             src_state.params, src_state.bn_state)
+    state, start = loop.maybe_resume(args.out, state)
+
+    src_sampler = iter(pipeline.BatchSampler(src_ds, cfg.data.batch_size *
+                                             max(1, args.dp),
+                                             seed=cfg.run.seed + 3))
+    tgt_sampler = iter(pipeline.BatchSampler(tgt_ds, cfg.data.batch_size *
+                                             max(1, args.dp),
+                                             seed=cfg.run.seed + 4))
+
+    def pair_stream():
+        for sb, tb in zip(src_sampler, tgt_sampler):
+            yield {"src_image": sb["image"], "tgt_image": tb["image"]}
+
+    logger = mlog.MetricsLogger(os.path.join(args.out, "metrics.jsonl")
+                                if args.out else None)
+    # T3: discriminator warm-up phase, then the full alternating step
+    if cfg.adapt.pretrain_steps and start < cfg.adapt.pretrain_steps:
+        pre_step, _ = _wrap_dp(cfg, adapt.make_adapt_step, args,
+                               train_g=False)
+        state, _ = loop.run(pre_step, state, _feed(pair_stream()),
+                            cfg.adapt.pretrain_steps, seed=cfg.run.seed + 5,
+                            log_every=cfg.run.log_every, logger=logger,
+                            start_step=start)
+        start = cfg.adapt.pretrain_steps
+    step_fn, _ = _wrap_dp(cfg, adapt.make_adapt_step, args)
+    state, _ = loop.run(step_fn, state, _feed(pair_stream()),
+                        cfg.adapt.pretrain_steps + cfg.adapt.steps,
+                        seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
+                        ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
+                        logger=logger, start_step=start)
+    print(f"done; final checkpoint in {args.out}")
+
+
+def cmd_evaluate(args):
+    import jax
+    from mcmda_tpu.data import splits
+    from mcmda_tpu.evaluation import report
+    from mcmda_tpu.models import segmenter
+    from mcmda_tpu.train import adapt, source
+    from mcmda_tpu.utils import checkpoint
+
+    cfg = _load_config(args.config, args.set)
+    _, _, (test_vols, test_labs) = _get_data(args, cfg, args.direction)
+    if args.source_only:
+        state = source.init_state(jax.random.key(0), cfg)
+        state = checkpoint.restore(args.ckpt, state)
+        if cfg.run.use_pallas:
+            fwd = jax.jit(lambda img: segmenter.apply_fused_eval(
+                state.params, state.bn_state, img, cfg.segmenter)[1])
+        else:
+            fwd = jax.jit(lambda img: source.make_eval_forward(cfg)(
+                state.params, state.bn_state, img))
+    else:
+        src_state = source.init_state(jax.random.key(0), cfg)
+        state = adapt.init_state(jax.random.key(1), cfg, src_state.params,
+                                 src_state.bn_state)
+        state = checkpoint.restore(args.ckpt, state)
+        if cfg.run.use_pallas:
+            fwd = jax.jit(lambda img: segmenter.apply_fused_eval(
+                state.src_params, state.tgt_bn, img, cfg.segmenter,
+                dam_params=state.dam_params,
+                plug_depth=cfg.adapt.plug_depth)[1])
+        else:
+            fwd = jax.jit(lambda img: adapt.adapted_forward(cfg)(state, img))
+    agg = report.evaluate_volumes(fwd, test_vols, test_labs,
+                                  context=cfg.data.context_slices,
+                                  batch_size=cfg.data.batch_size,
+                                  structures=splits.STRUCTURES)
+    print(report.format_table(agg))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(agg, f, indent=2)
+    return agg
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="mcmda_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default=None,
+                        help="ExperimentConfig JSON (default: built-in)")
+        sp.add_argument("--set", action="append", metavar="K.EY=VAL",
+                        help="config override, e.g. adapt.plug_depth=rm2")
+        sp.add_argument("--direction", default="mri2ct",
+                        choices=["mri2ct", "ct2mri"])
+        sp.add_argument("--data-root", default=None,
+                        help="MMWHS root (see data/mmwhs.py layout)")
+        sp.add_argument("--synthetic", action="store_true",
+                        help="use the generated phantom dataset")
+        sp.add_argument("--synthetic-volumes", type=int, default=4)
+        sp.add_argument("--dp", type=int, default=0,
+                        help="data-parallel over N devices")
+
+    sp = sub.add_parser("train-source", help="config 2: supervised source")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_train_source)
+
+    sp = sub.add_parser("adapt", help="configs 3+4: pretrain + adaptation")
+    common(sp)
+    sp.add_argument("--source-ckpt", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_adapt)
+
+    sp = sub.add_parser("evaluate", help="configs 1+5: Dice/ASSD eval")
+    common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--source-only", action="store_true")
+    sp.add_argument("--json-out", default=None)
+    sp.set_defaults(fn=cmd_evaluate)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(0)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -2,4 +2,5 @@
 stitching + per-structure Dice/ASD metrics (E2), and the benchmark report
 table."""
 
-from mcmda_tpu.evaluation import inference, metrics3d, report  # noqa: F401
+from mcmda_tpu.evaluation import (inference, metrics3d,  # noqa: F401
+                                  report, snapshots)

@@ -9,6 +9,7 @@ console lines.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import IO, Mapping
@@ -20,6 +21,8 @@ class MetricsLogger:
         self.path = path
         self.echo = echo
         self.stream = stream or sys.stdout
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._fh = open(path, "a") if path else None
         self._t0 = time.time()
 

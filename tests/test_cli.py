@@ -1,0 +1,75 @@
+"""CLI plumbing tests: config overrides, parser wiring, mmwhs layout
+resolution (full CLI workflows are driven by examples/ + verify scripts)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mcmda_tpu import cli
+from mcmda_tpu.config import ExperimentConfig
+
+
+def test_override_scalar_and_string():
+    cfg = cli._load_config(None, ["adapt.plug_depth=rm2", "adapt.k_d=3",
+                                  "source.lr=0.01"])
+    assert cfg.adapt.plug_depth == "rm2"
+    assert cfg.adapt.k_d == 3
+    assert cfg.source.lr == 0.01
+
+
+def test_override_tuple():
+    cfg = cli._load_config(None, ['critic.taps=["rm3","rm4"]'])
+    assert cfg.critic.taps == ("rm3", "rm4")
+
+
+def test_config_file_loading(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(ExperimentConfig().to_json())
+    cfg = cli._load_config(str(p), ["run.seed=7"])
+    assert cfg.run.seed == 7
+
+
+def test_shipped_configs_parse():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in ("mri2ct.json", "ct2mri.json", "smoke.json"):
+        with open(os.path.join(here, "configs", name)) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+        assert cfg.segmenter.total_stride == 8
+    # config-5 reverse direction uses multi-level discriminators
+    with open(os.path.join(here, "configs", "ct2mri.json")) as f:
+        assert ExperimentConfig.from_json(f.read()).critic.mode == "multi"
+
+
+def test_parser_subcommands():
+    p = cli.build_parser()
+    a = p.parse_args(["train-source", "--out", "/tmp/x", "--synthetic"])
+    assert a.fn is cli.cmd_train_source
+    a = p.parse_args(["adapt", "--source-ckpt", "c", "--out", "o",
+                      "--direction", "ct2mri"])
+    assert a.direction == "ct2mri"
+    a = p.parse_args(["evaluate", "--ckpt", "c", "--source-only"])
+    assert a.source_only
+
+
+def test_mmwhs_layout(tmp_path):
+    from mcmda_tpu.data import mmwhs
+    root = tmp_path
+    for d, n in (("mri", 3), ("ct", 3)):
+        os.makedirs(root / d / "images")
+        os.makedirs(root / d / "labels")
+        for i in range(n):
+            np.save(root / d / "images" / f"{d}_train_{1001 + i}.npy",
+                    np.random.default_rng(i).normal(size=(6, 8, 8))
+                    .astype(np.float32))
+            np.save(root / d / "labels" / f"{d}_train_{1001 + i}.npy",
+                    np.zeros((6, 8, 8), np.int32))
+    vols, labs = mmwhs.load_domain(str(root), "mri", with_labels=True)
+    assert len(vols) == 3 and len(labs) == 3
+    assert abs(vols[0].mean()) < 1e-4  # normalized
+    vols2, labs2 = mmwhs.load_domain(str(root), "ct", with_labels=False,
+                                     ids=(1, 2))
+    assert len(vols2) == 2 and labs2 is None
+    with pytest.raises(FileNotFoundError):
+        mmwhs.load_domain(str(root), "nope")
