@@ -253,6 +253,10 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(0)
+    cfg_probe = _load_config(args.config, args.set)
+    if cfg_probe.run.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     return args.fn(args)
 
 

@@ -165,6 +165,7 @@ class RunConfig:
     metrics_path: str = "metrics.jsonl"
     use_pallas: bool = False
     donate: bool = True
+    debug_nans: bool = False  # dev-mode jax_debug_nans (SURVEY section 5)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,19 +16,46 @@ import jax.numpy as jnp
 from mcmda_tpu.data import volumes as vol_io
 
 
+_scan_cache = {}
+
+
+def _scanned_argmax(forward, shape_key):
+    """jit(scan(forward)) over a [K,B,H,W,C] slice stack — ONE device
+    dispatch per volume (the per-batch Python loop pays host<->device
+    dispatch latency per call, which dominates on remote-attached chips)."""
+    if (id(forward), shape_key) not in _scan_cache:
+        def run(stacks):
+            def body(_, xb):
+                return None, jnp.argmax(forward(xb), -1).astype(jnp.int32)
+            _, preds = jax.lax.scan(body, None, stacks)
+            return preds
+        _scan_cache[(id(forward), shape_key)] = jax.jit(run)
+    return _scan_cache[(id(forward), shape_key)]
+
+
 def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
-                   batch_size: int = 8) -> np.ndarray:
+                   batch_size: int = 8, single_dispatch: bool = True
+                   ) -> np.ndarray:
     """Run ``forward(images[B,H,W,ctx]) -> probs[B,H,W,K]`` over every slice
     of [S,H,W] ``volume``; returns the stitched label volume [S,H,W] int32.
 
-    ``forward`` is any jitted callable (single-device or mesh-sharded); shapes
-    are padded to full batches so one compilation serves all volumes.
+    With ``single_dispatch`` (default) ``forward`` must be jittable
+    (single-device or mesh-sharded) and the whole volume runs as ONE scanned
+    device dispatch (E1 hot loop).  ``single_dispatch=False`` loops batches
+    on the host for non-traceable forwards (test oracles).
     """
     stacked = vol_io.stack_context(volume, context)  # [S,H,W,ctx]
     s = stacked.shape[0]
     pad = (-s) % batch_size
     if pad:
         stacked = np.concatenate([stacked, np.repeat(stacked[-1:], pad, 0)], 0)
+    if single_dispatch:
+        k = stacked.shape[0] // batch_size
+        stacks = jnp.asarray(stacked.reshape((k, batch_size)
+                                             + stacked.shape[1:]))
+        run = _scanned_argmax(forward, (k,) + stacks.shape[1:])
+        preds = np.asarray(jax.device_get(run(stacks)), np.int32)
+        return preds.reshape((-1,) + preds.shape[2:])[:s]
     preds = []
     for i in range(0, stacked.shape[0], batch_size):
         probs = forward(jnp.asarray(stacked[i:i + batch_size]))

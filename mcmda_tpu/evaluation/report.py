@@ -15,12 +15,14 @@ from mcmda_tpu.evaluation import inference, metrics3d
 def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
                      labels: Sequence[np.ndarray], *, context: int = 3,
                      batch_size: int = 8, spacing=None,
-                     structures: dict = STRUCTURES) -> dict:
+                     structures: dict = STRUCTURES,
+                     single_dispatch: bool = True) -> dict:
     """Evaluate a forward fn over test volumes -> aggregated metric table."""
     per_vol = []
     for vol, lab in zip(volumes, labels):
         pred = inference.predict_volume(forward, vol, context=context,
-                                        batch_size=batch_size)
+                                        batch_size=batch_size,
+                                        single_dispatch=single_dispatch)
         per_vol.append(metrics3d.per_structure(pred, lab, structures, spacing))
     agg = {}
     for name in structures.values():

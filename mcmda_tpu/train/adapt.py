@@ -139,20 +139,23 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                              tgt_bn=new_bn), {"g_loss": gl}
 
     def step(state: AdaptState, batch, rng):
+        # ONE augmentation kernel per step on the concatenated src+tgt batch;
+        # the D and G phases share the augmented views (standard GAN-loop
+        # practice, and the warp is the dominant cost on TPU — see
+        # scripts/profile_step.py)
+        if augment:
+            both = jnp.concatenate([batch["src_image"], batch["tgt_image"]], 0)
+            both = pipeline.augment_images(rng, both, cfg.data)
+            n_src = batch["src_image"].shape[0]
+            x_s, x_t = both[:n_src], both[n_src:]
+        else:
+            x_s, x_t = batch["src_image"], batch["tgt_image"]
         metrics = {}
-        for i in range(a.k_d):
-            k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
-            x_s = pipeline.augment_images(k1, batch["src_image"], cfg.data) \
-                if augment else batch["src_image"]
-            x_t = pipeline.augment_images(k2, batch["tgt_image"], cfg.data) \
-                if augment else batch["tgt_image"]
+        for _i in range(a.k_d):
             state, m = d_step(state, x_s, x_t)
             metrics.update(m)
         if train_g:
-            for i in range(a.k_g):
-                kt = jax.random.fold_in(rng, 1000 + i)
-                x_t = pipeline.augment_images(kt, batch["tgt_image"], cfg.data) \
-                    if augment else batch["tgt_image"]
+            for _i in range(a.k_g):
                 state, m = g_step(state, x_t)
                 metrics.update(m)
         return state.replace(step=state.step + 1), metrics

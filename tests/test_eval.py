@@ -23,6 +23,10 @@ def test_predict_volume_shapes_and_padding(tiny_config):
     vol = np.random.default_rng(0).normal(size=(7, 32, 32)).astype(np.float32)
     pred = inference.predict_volume(fake_forward, vol, batch_size=4)
     assert pred.shape == (7, 32, 32)
+    # host-loop fallback path agrees with single-dispatch scan
+    pred2 = inference.predict_volume(fake_forward, vol, batch_size=4,
+                                     single_dispatch=False)
+    np.testing.assert_array_equal(pred, pred2)
     probs = inference.predict_volume_probs(fake_forward, vol, batch_size=4)
     assert probs.shape == (7, 32, 32, 5)
     np.testing.assert_array_equal(pred, probs.argmax(-1))
@@ -49,7 +53,8 @@ def test_oracle_eval_is_perfect(tiny_config):
     for i in range(stacked.shape[0]):
         lookup[round(float(stacked[i, ..., 1].sum()), 3)] = lab[i]
 
-    agg = report.evaluate_volumes(oracle, vols, labs, batch_size=4)
+    agg = report.evaluate_volumes(oracle, vols, labs, batch_size=4,
+                                  single_dispatch=False)
     for name in ("AA", "LAC", "LVC", "MYO"):
         assert agg[name]["dice"] == 1.0
         assert agg[name]["assd"] == 0.0
