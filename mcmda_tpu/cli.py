@@ -149,8 +149,26 @@ def cmd_adapt(args):
         for sb, tb in zip(src_sampler, tgt_sampler):
             yield {"src_image": sb["image"], "tgt_image": tb["image"]}
 
-    logger = mlog.MetricsLogger(os.path.join(args.out, "metrics.jsonl")
-                                if args.out else None)
+    logger = mlog.MetricsLogger(
+        os.path.join(args.out, "metrics.jsonl") if args.out else None,
+        tensorboard_dir=os.path.join(args.out, "tb") if args.out else None)
+
+    # periodic qualitative dumps (the reference's T2 snapshot images)
+    snap_batch = tgt_ds.images[:4]
+
+    def snapshot_cb(step, st):
+        from mcmda_tpu.evaluation import snapshots
+        import jax as _jax
+        probs = _jax.jit(adapt.adapted_forward(cfg))(st, jnp_asarray(
+            snap_batch))
+        snapshots.save_snapshot(
+            os.path.join(args.out, "snapshots", f"step_{step:08d}.png"),
+            snap_batch, np.asarray(probs.argmax(-1)))
+
+    def jnp_asarray(x):
+        import jax.numpy as jnp
+        return jnp.asarray(x)
+
     # T3: discriminator warm-up phase, then the full alternating step
     if cfg.adapt.pretrain_steps and start < cfg.adapt.pretrain_steps:
         pre_step, _ = _wrap_dp(cfg, adapt.make_adapt_step, args,
@@ -165,7 +183,8 @@ def cmd_adapt(args):
                         cfg.adapt.pretrain_steps + cfg.adapt.steps,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
-                        logger=logger, start_step=start)
+                        logger=logger, start_step=start,
+                        callback=snapshot_cb if args.out else None)
     print(f"done; final checkpoint in {args.out}")
 
 

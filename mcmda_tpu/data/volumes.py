@@ -62,15 +62,27 @@ def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def load_volume(path: str, key: str | None = None) -> np.ndarray:
     """Load a 3D volume from .npz/.npy/.nii/.nii.gz as float32 [S,H,W]."""
+    return load_volume_with_spacing(path, key)[0]
+
+
+def load_volume_with_spacing(path: str, key: str | None = None):
+    """Like load_volume but also returns voxel spacing [3] (slice,row,col)
+    when the format records it (NIfTI pixdim; npz key 'spacing'), else
+    unit spacing — feeds the ASD metrics' mm-correct distances (E2)."""
     if path.endswith((".nii", ".nii.gz")):
-        data, _ = load_nifti(path)
+        data, zooms = load_nifti(path)
         # benchmark slicing is along the last file axis -> move to front
-        return np.ascontiguousarray(np.moveaxis(data, -1, 0)).astype(np.float32)
+        vol = np.ascontiguousarray(np.moveaxis(data, -1, 0)).astype(np.float32)
+        spacing = np.asarray([zooms[2], zooms[0], zooms[1]], np.float32)
+        return vol, spacing
     if path.endswith(".npz"):
         with np.load(path) as z:
-            arr = z[key] if key else z[list(z.files)[0]]
-        return np.asarray(arr, np.float32)
-    return np.load(path).astype(np.float32)
+            arr = z[key] if key else z[[f for f in z.files
+                                        if f != "spacing"][0]]
+            spacing = (np.asarray(z["spacing"], np.float32)
+                       if "spacing" in z.files else np.ones(3, np.float32))
+        return np.asarray(arr, np.float32), spacing
+    return np.load(path).astype(np.float32), np.ones(3, np.float32)
 
 
 # ------------------------------------------------------------ normalization

@@ -17,13 +17,19 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
                      batch_size: int = 8, spacing=None,
                      structures: dict = STRUCTURES,
                      single_dispatch: bool = True) -> dict:
-    """Evaluate a forward fn over test volumes -> aggregated metric table."""
+    """Evaluate a forward fn over test volumes -> aggregated metric table.
+
+    ``spacing``: None (voxel units), one [3] spacing for all volumes, or a
+    per-volume sequence of spacings (mm-correct ASD, E2)."""
     per_vol = []
-    for vol, lab in zip(volumes, labels):
+    for i, (vol, lab) in enumerate(zip(volumes, labels)):
+        sp = spacing
+        if sp is not None and np.ndim(sp) > 1:
+            sp = spacing[i]
         pred = inference.predict_volume(forward, vol, context=context,
                                         batch_size=batch_size,
                                         single_dispatch=single_dispatch)
-        per_vol.append(metrics3d.per_structure(pred, lab, structures, spacing))
+        per_vol.append(metrics3d.per_structure(pred, lab, structures, sp))
     agg = {}
     for name in structures.values():
         dices = [pv[name]["dice"] for pv in per_vol]

@@ -39,11 +39,13 @@ class _PreemptionGuard:
 def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
         seed: int = 0, log_every: int = 50, ckpt_every: int = 0,
         ckpt_dir: str | None = None, logger: mlog.MetricsLogger | None = None,
-        start_step: int = 0):
+        start_step: int = 0, callback: Callable | None = None):
     """Drive ``step_fn(state, batch, rng)`` for ``num_steps``.
 
     The rng handed to each step derives from (seed, step) so a resumed run
     replays identical augmentation randomness from its restart point.
+    ``callback(step, state)`` fires at every checkpoint interval (qualitative
+    snapshot dumps, eval probes — the reference's periodic T2 side effects).
     """
     logger = logger or mlog.MetricsLogger(echo=False)
     root = prng.root_key(seed)
@@ -56,8 +58,11 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                 last_metrics = {k: float(v) for k, v in
                                 jax.device_get(metrics).items()}
                 logger.log(step, last_metrics)
-            if ckpt_every and ckpt_dir and step > 0 and step % ckpt_every == 0:
-                checkpoint.save(os.path.join(ckpt_dir), state, step=step)
+            if ckpt_every and step > 0 and step % ckpt_every == 0:
+                if ckpt_dir:
+                    checkpoint.save(os.path.join(ckpt_dir), state, step=step)
+                if callback is not None:
+                    callback(step, state)
             if guard.fired:
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state,

@@ -17,7 +17,7 @@ from typing import IO, Mapping
 
 class MetricsLogger:
     def __init__(self, path: str | None = None, echo: bool = True,
-                 stream: IO | None = None):
+                 stream: IO | None = None, tensorboard_dir: str | None = None):
         self.path = path
         self.echo = echo
         self.stream = stream or sys.stdout
@@ -25,6 +25,10 @@ class MetricsLogger:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._fh = open(path, "a") if path else None
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard_dir:
+            from mcmda_tpu.utils.tensorboard import EventWriter
+            self._tb = EventWriter(tensorboard_dir)
 
     def log(self, step: int, scalars: Mapping[str, float]) -> None:
         rec = {"step": int(step), "wall": round(time.time() - self._t0, 3)}
@@ -32,6 +36,9 @@ class MetricsLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            self._tb.scalars(int(step), {k: v for k, v in rec.items()
+                                         if k not in ("step", "wall")})
         if self.echo:
             body = " ".join(f"{k}={v:.4g}" for k, v in rec.items()
                             if k not in ("step", "wall"))
@@ -41,3 +48,6 @@ class MetricsLogger:
         if self._fh:
             self._fh.close()
             self._fh = None
+        if self._tb:
+            self._tb.close()
+            self._tb = None
