@@ -142,6 +142,9 @@ class AdaptConfig:
     pretrain_steps: int = 0
     gan_loss: str = "nonsat"  # "nonsat" | "lsgan"
     label_smooth: float = 0.0
+    # R1 gradient penalty on real (source) features — 0 disables. Stabilizes
+    # the critic on hard real-data runs; not in the reference (rebuild knob).
+    r1_gamma: float = 0.0
     # BN handling in the frozen higher-layer module on the target path:
     # "batch"  — frozen params but batch statistics from target activations
     # "frozen" — use the source running statistics everywhere

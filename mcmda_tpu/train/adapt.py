@@ -107,7 +107,20 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                 critic_mod.apply(critic_params, f_src, cr_cfg))
             l_t = critic_mod.flatten_logits(
                 critic_mod.apply(critic_params, f_tgt, cr_cfg))
-            return d_loss_fn(l_s, l_t, a.label_smooth), (l_s, l_t)
+            dl = d_loss_fn(l_s, l_t, a.label_smooth)
+            if a.r1_gamma > 0:
+                # R1: penalize the critic's gradient norm on real (source)
+                # features — nested grad, fully inside the jitted step
+                def d_sum(taps):
+                    sel = {t: taps[t] for t in cr_cfg.taps}
+                    return jnp.sum(critic_mod.flatten_logits(
+                        critic_mod.apply(critic_params, sel, cr_cfg)))
+                gf = jax.grad(d_sum)({t: f_src[t] for t in cr_cfg.taps})
+                n = f_src[cr_cfg.taps[0]].shape[0]
+                r1 = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in jax.tree.leaves(gf)) / n
+                dl = dl + 0.5 * a.r1_gamma * r1
+            return dl, (l_s, l_t)
 
         (dl, (l_s, l_t)), grads = jax.value_and_grad(loss, has_aux=True)(
             state.critic_params)

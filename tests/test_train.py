@@ -111,6 +111,20 @@ def test_adapted_forward_runs(adapt_setup):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
 
 
+def test_r1_penalty_changes_d_loss(adapt_setup):
+    import dataclasses
+    cfg, state, batch = adapt_setup
+    cfg_r1 = dataclasses.replace(cfg, adapt=dataclasses.replace(
+        cfg.adapt, r1_gamma=10.0))
+    step0 = jax.jit(adapt.make_adapt_step(cfg, train_g=False, augment=False))
+    step1 = jax.jit(adapt.make_adapt_step(cfg_r1, train_g=False,
+                                          augment=False))
+    _, m0 = step0(state, batch, jax.random.key(0))
+    _, m1 = step1(state, batch, jax.random.key(0))
+    assert float(m1["d_loss"]) > float(m0["d_loss"])  # penalty adds
+    assert np.isfinite(float(m1["d_loss"]))
+
+
 def test_kd_kg_ratio(tiny_config, adapt_setup):
     cfg, state, batch = adapt_setup
     import dataclasses
