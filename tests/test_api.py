@@ -3,7 +3,6 @@ tiny synthetic problem (configs 2 -> 3+4 -> 1/5), plus resume semantics."""
 
 import dataclasses
 
-import numpy as np
 
 from mcmda_tpu import api
 from mcmda_tpu.data import synthetic

@@ -1,7 +1,6 @@
 """CLI plumbing tests: config overrides, parser wiring, mmwhs layout
 resolution (full CLI workflows are driven by examples/ + verify scripts)."""
 
-import json
 import os
 
 import numpy as np

@@ -5,7 +5,6 @@ so these tests validate kernel logic without a chip; the real-TPU compile
 path is exercised by bench.py / scripts on hardware.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

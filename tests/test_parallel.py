@@ -1,7 +1,6 @@
 """Distributed tests on the 8-device CPU mesh (SURVEY section 4): DP step
 equivalence with single-device training, sharded eval forward."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
