@@ -94,12 +94,28 @@ def cmd_train_source(args):
     sampler = iter(pipeline.BatchSampler(ds, global_batch,
                                          seed=cfg.run.seed + 1,
                                          num_classes=cfg.data.num_classes))
-    logger = mlog.MetricsLogger(os.path.join(args.out, "metrics.jsonl")
-                                if args.out else None)
+    logger = mlog.MetricsLogger(
+        os.path.join(args.out, "metrics.jsonl") if args.out else None,
+        tensorboard_dir=os.path.join(args.out, "tb") if args.out else None)
+
+    # periodic per-volume Dice probe on one source volume (curve monitoring,
+    # the reference's TensorBoard habit)
+    from mcmda_tpu.evaluation import report as report_mod
+    val_vol, val_lab = src_vols[-1], src_labs[-1]
+
+    def val_cb(step_i, st):
+        fwd = jax.jit(lambda img: source.make_eval_forward(cfg)(
+            st.params, st.bn_state, img))
+        agg = report_mod.evaluate_volumes(fwd, [val_vol], [val_lab],
+                                          context=cfg.data.context_slices,
+                                          batch_size=cfg.data.batch_size)
+        logger.log(step_i, {"val_dice": agg["mean"]["dice"]})
+
     state, _ = loop.run(step_fn, state, _feed(sampler), cfg.source.steps,
                         seed=cfg.run.seed, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
-                        logger=logger, start_step=start)
+                        logger=logger, start_step=start,
+                        callback=val_cb if args.out else None)
     print(f"done; final checkpoint in {args.out}")
 
 

@@ -39,7 +39,8 @@ class _PreemptionGuard:
 def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
         seed: int = 0, log_every: int = 50, ckpt_every: int = 0,
         ckpt_dir: str | None = None, logger: mlog.MetricsLogger | None = None,
-        start_step: int = 0, callback: Callable | None = None):
+        start_step: int = 0, callback: Callable | None = None,
+        keep_checkpoints: int = 3):
     """Drive ``step_fn(state, batch, rng)`` for ``num_steps``.
 
     The rng handed to each step derives from (seed, step) so a resumed run
@@ -61,6 +62,7 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
             if ckpt_every and step > 0 and step % ckpt_every == 0:
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state, step=step)
+                    checkpoint.prune(ckpt_dir, keep_checkpoints)
                 if callback is not None:
                     callback(step, state)
             if guard.fired:

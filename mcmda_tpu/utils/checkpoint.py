@@ -57,6 +57,21 @@ def restore(path: str, like: Any) -> Any:
         [jax.numpy.asarray(flat[jax.tree_util.keystr(kp)]) for kp, _ in leaves])
 
 
+def prune(ckpt_dir: str, keep: int = 3) -> None:
+    """Delete all but the newest ``keep`` step_XXXXXXXX checkpoints."""
+    import shutil
+    if not os.path.isdir(ckpt_dir) or keep <= 0:
+        return
+    steps = sorted(int(m.group(1)) for n in os.listdir(ckpt_dir)
+                   if (m := re.match(r"step_(\d+)$", n)))
+    for s in steps[:-keep]:
+        path = os.path.join(ckpt_dir, f"step_{s:08d}")
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path + ".npz"):
+            os.remove(path + ".npz")
+
+
 def latest_step(ckpt_dir: str) -> int | None:
     """Find the newest step_XXXXXXXX checkpoint for restart-from-latest."""
     if not os.path.isdir(ckpt_dir):

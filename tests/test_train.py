@@ -111,6 +111,41 @@ def test_adapted_forward_runs(adapt_setup):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
 
 
+def test_adapt_with_multi_level_critic(tiny_config):
+    """BASELINE config 5: one critic per tap, summed losses — full train
+    step must run and move both stacks."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config, critic=dataclasses.replace(
+        tiny_config.critic, mode="multi"))
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    assert set(state.critic_params["stacks"]) == set(cfg.critic.taps)
+    batch = {"src_image": _batch(cfg, 0, "mri")["image"],
+             "tgt_image": _batch(cfg, 0, "ct")["image"]}
+    step = jax.jit(adapt.make_adapt_step(cfg, augment=False))
+    new_state, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["d_loss"]))
+    for t in cfg.critic.taps:
+        moved = max(float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree.leaves(state.critic_params["stacks"][t]),
+            jax.tree.leaves(new_state.critic_params["stacks"][t])))
+        assert moved > 0
+
+
+def test_checkpoint_prune(tmp_path, tiny_config):
+    import jax as _jax
+    from mcmda_tpu.train import source as src_mod
+    from mcmda_tpu.utils import checkpoint as ck
+    st = src_mod.init_state(_jax.random.key(0), tiny_config)
+    for s in (5, 10, 15, 20):
+        ck.save(str(tmp_path), st, step=s)
+    ck.prune(str(tmp_path), keep=2)
+    assert ck.latest_step(str(tmp_path)) == 20
+    import os
+    steps = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
+    assert steps == ["step_00000015", "step_00000020"]
+
+
 def test_r1_penalty_changes_d_loss(adapt_setup):
     import dataclasses
     cfg, state, batch = adapt_setup
