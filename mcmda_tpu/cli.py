@@ -90,10 +90,22 @@ def cmd_train_source(args):
           flush=True)
     state = source.init_state(jax.random.key(cfg.run.seed), cfg)
     state, start = loop.maybe_resume(args.out, state)
-    step_fn, global_batch = _wrap_dp(cfg, source.make_train_step, args)
-    sampler = iter(pipeline.BatchSampler(ds, global_batch,
-                                         seed=cfg.run.seed + 1,
-                                         num_classes=cfg.data.num_classes))
+    # device-resident dataset + on-device sampling when it fits HBM (zero
+    # per-step host transfer); host sampler otherwise / under DP
+    on_device = (not args.dp or args.dp <= 1) and ds.images.nbytes < 1 << 30
+    if on_device:
+        import itertools
+        step_fn = jax.jit(source.make_train_step(cfg,
+                                                 sample_from_device=True),
+                          donate_argnums=(0,) if cfg.run.donate else ())
+        feed = itertools.repeat(
+            pipeline.to_device_arrays(ds, cfg.data.num_classes))
+    else:
+        step_fn, global_batch = _wrap_dp(cfg, source.make_train_step, args)
+        sampler = iter(pipeline.BatchSampler(ds, global_batch,
+                                             seed=cfg.run.seed + 1,
+                                             num_classes=cfg.data.num_classes))
+        feed = _feed(sampler)
     logger = mlog.MetricsLogger(
         os.path.join(args.out, "metrics.jsonl") if args.out else None,
         tensorboard_dir=os.path.join(args.out, "tb") if args.out else None)
@@ -111,7 +123,7 @@ def cmd_train_source(args):
                                           batch_size=cfg.data.batch_size)
         logger.log(step_i, {"val_dice": agg["mean"]["dice"]})
 
-    state, _ = loop.run(step_fn, state, _feed(sampler), cfg.source.steps,
+    state, _ = loop.run(step_fn, state, feed, cfg.source.steps,
                         seed=cfg.run.seed, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
                         logger=logger, start_step=start,
@@ -154,16 +166,29 @@ def cmd_adapt(args):
                              src_state.params, src_state.bn_state)
     state, start = loop.maybe_resume(args.out, state)
 
-    src_sampler = iter(pipeline.BatchSampler(src_ds, cfg.data.batch_size *
-                                             max(1, args.dp),
-                                             seed=cfg.run.seed + 3))
-    tgt_sampler = iter(pipeline.BatchSampler(tgt_ds, cfg.data.batch_size *
-                                             max(1, args.dp),
-                                             seed=cfg.run.seed + 4))
+    on_device = (not args.dp or args.dp <= 1) and \
+        (src_ds.images.nbytes + tgt_ds.images.nbytes) < 1 << 30
+    if on_device:
+        import itertools
+        device_data = {"src": pipeline.to_device_arrays(src_ds),
+                       "tgt": pipeline.to_device_arrays(tgt_ds)}
 
-    def pair_stream():
-        for sb, tb in zip(src_sampler, tgt_sampler):
-            yield {"src_image": sb["image"], "tgt_image": tb["image"]}
+        def make_feed():
+            return itertools.repeat(device_data)
+    else:
+        src_sampler = iter(pipeline.BatchSampler(
+            src_ds, cfg.data.batch_size * max(1, args.dp),
+            seed=cfg.run.seed + 3))
+        tgt_sampler = iter(pipeline.BatchSampler(
+            tgt_ds, cfg.data.batch_size * max(1, args.dp),
+            seed=cfg.run.seed + 4))
+
+        def make_feed():
+            def pair_stream():
+                for sb, tb in zip(src_sampler, tgt_sampler):
+                    yield {"src_image": sb["image"],
+                           "tgt_image": tb["image"]}
+            return _feed(pair_stream())
 
     logger = mlog.MetricsLogger(
         os.path.join(args.out, "metrics.jsonl") if args.out else None,
@@ -185,17 +210,21 @@ def cmd_adapt(args):
         import jax.numpy as jnp
         return jnp.asarray(x)
 
+    def mk_step(**kw):
+        if on_device:
+            return jax.jit(adapt.make_adapt_step(cfg, sample_from_device=True,
+                                                 **kw),
+                           donate_argnums=(0,) if cfg.run.donate else ())
+        return _wrap_dp(cfg, adapt.make_adapt_step, args, **kw)[0]
+
     # T3: discriminator warm-up phase, then the full alternating step
     if cfg.adapt.pretrain_steps and start < cfg.adapt.pretrain_steps:
-        pre_step, _ = _wrap_dp(cfg, adapt.make_adapt_step, args,
-                               train_g=False)
-        state, _ = loop.run(pre_step, state, _feed(pair_stream()),
+        state, _ = loop.run(mk_step(train_g=False), state, make_feed(),
                             cfg.adapt.pretrain_steps, seed=cfg.run.seed + 5,
                             log_every=cfg.run.log_every, logger=logger,
                             start_step=start)
         start = cfg.adapt.pretrain_steps
-    step_fn, _ = _wrap_dp(cfg, adapt.make_adapt_step, args)
-    state, _ = loop.run(step_fn, state, _feed(pair_stream()),
+    state, _ = loop.run(mk_step(), state, make_feed(),
                         cfg.adapt.pretrain_steps + cfg.adapt.steps,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,

@@ -113,6 +113,39 @@ def augment_images(rng, images, cfg: DataConfig):
     return out
 
 
+# ------------------------------------------------- device-resident datasets
+def to_device_arrays(ds, num_classes: int | None = None, sharding=None):
+    """Materialize a SliceDataset in HBM for fully on-device sampling.
+
+    The benchmark's training sets are small (tens of volumes -> a few hundred
+    MB), so the whole slice array lives on device and each train step GATHERS
+    its batch by indices drawn from the step's PRNG key — the host sends
+    nothing per step.  (Measured: host->device batch upload dominated wall
+    time on remote-attached chips.)  Labels ship as int8 and one-hot on
+    device.  Under data parallelism, pass a P("data")-sharding to split the
+    dataset across replicas; each shard samples locally.
+    """
+    import jax
+
+    out = {"images": jax.device_put(ds.images, sharding)}
+    if ds.labels is not None and num_classes:
+        out["labels"] = jax.device_put(ds.labels.astype(np.int8), sharding)
+    return out
+
+
+def sample_device_batch(data, rng, batch_size: int,
+                        num_classes: int | None = None):
+    """Jit-friendly: gather a random batch from device-resident arrays."""
+    n = data["images"].shape[0]
+    idx = jax.random.randint(rng, (batch_size,), 0, n)
+    batch = {"image": jnp.take(data["images"], idx, axis=0)}
+    if "labels" in data and num_classes:
+        batch["label"] = jax.nn.one_hot(
+            jnp.take(data["labels"], idx, axis=0).astype(jnp.int32),
+            num_classes, dtype=jnp.float32)
+    return batch
+
+
 # ----------------------------------------------------- host-side augmentation
 def augment_batch_host(rng: np.random.Generator, images: np.ndarray,
                        labels_onehot: np.ndarray | None, cfg: DataConfig):

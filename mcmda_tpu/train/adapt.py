@@ -69,12 +69,16 @@ def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
 
 
 def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
-                    train_g: bool = True, augment: bool = True):
+                    train_g: bool = True, augment: bool = True,
+                    sample_from_device: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics).
 
     batch = {"src_image": [B,H,W,C], "tgt_image": [B,H,W,C]} (both unlabeled —
-    the critic sees only features [P1 SIII-B]).  ``train_g=False`` is the
-    discriminator-pretrain phase (T3 / BASELINE config 3).
+    the critic sees only features [P1 SIII-B]); with ``sample_from_device``
+    it is instead {"src": device_arrays, "tgt": device_arrays} from
+    ``pipeline.to_device_arrays`` and batches gather on device (zero per-step
+    host transfer).  ``train_g=False`` is the discriminator-pretrain phase
+    (T3 / BASELINE config 3).
     """
     a = cfg.adapt
     seg_cfg = cfg.segmenter
@@ -152,6 +156,15 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                              tgt_bn=new_bn), {"g_loss": gl}
 
     def step(state: AdaptState, batch, rng):
+        if sample_from_device:
+            r_s, r_t, rng = jax.random.split(rng, 3)
+            bs = cfg.data.batch_size
+            batch = {
+                "src_image": pipeline.sample_device_batch(batch["src"], r_s,
+                                                          bs)["image"],
+                "tgt_image": pipeline.sample_device_batch(batch["tgt"], r_t,
+                                                          bs)["image"],
+            }
         # ONE augmentation kernel per step on the concatenated src+tgt batch;
         # the D and G phases share the augmented views (standard GAN-loop
         # practice, and the warp is the dominant cost on TPU — see

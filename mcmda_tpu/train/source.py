@@ -46,9 +46,15 @@ def make_tx(cfg: ExperimentConfig):
 
 
 def make_train_step(cfg: ExperimentConfig, axis_name: str | None = None,
-                    augment: bool = True):
+                    augment: bool = True, sample_from_device: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics). Pure; jit/shard_map
-    it at the call site. batch = {"image": [B,H,W,C], "label": [B,H,W,K]}."""
+    it at the call site.
+
+    batch = {"image": [B,H,W,C], "label": [B,H,W,K]} normally; with
+    ``sample_from_device`` the batch is instead the device-resident dataset
+    from ``pipeline.to_device_arrays`` and the step gathers its own random
+    batch on device (zero per-step host transfer).
+    """
     tx = make_tx(cfg)
     seg_cfg = cfg.segmenter
     src = cfg.source
@@ -62,6 +68,11 @@ def make_train_step(cfg: ExperimentConfig, axis_name: str | None = None,
         return loss, (new_bn, parts)
 
     def step(state: SourceState, batch, rng):
+        if sample_from_device:
+            r_idx, rng = jax.random.split(rng)
+            batch = pipeline.sample_device_batch(batch, r_idx,
+                                                 cfg.data.batch_size,
+                                                 cfg.data.num_classes)
         image, label = batch["image"], batch["label"]
         if augment:
             image, label = pipeline.augment_batch(rng, image, label, cfg.data)

@@ -111,6 +111,32 @@ def test_adapted_forward_runs(adapt_setup):
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-4)
 
 
+def test_device_resident_sampling(tiny_config):
+    """Zero-host-transfer path: steps gather their own batches on device."""
+    from mcmda_tpu.data import pipeline, synthetic, volumes as vio
+    cfg = tiny_config
+    vols, labs = synthetic.make_dataset(0, "mri", 1, 8, 32)
+    ds = vio.volumes_to_slices(vols, labs)
+    data = pipeline.to_device_arrays(ds, cfg.data.num_classes)
+
+    state = source.init_state(jax.random.key(0), cfg)
+    step = jax.jit(source.make_train_step(cfg, sample_from_device=True))
+    s2, m = step(state, data, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    # different rng -> different sampled batch -> different loss
+    _, m2 = step(state, data, jax.random.key(2))
+    assert float(m["loss"]) != float(m2["loss"])
+
+    ct_vols, _ = synthetic.make_dataset(0, "ct", 1, 8, 32)
+    tgt = pipeline.to_device_arrays(vio.volumes_to_slices(ct_vols))
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    a_state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    a_step = jax.jit(adapt.make_adapt_step(cfg, sample_from_device=True))
+    a2, am = a_step(a_state, {"src": data, "tgt": tgt}, jax.random.key(3))
+    assert np.isfinite(float(am["d_loss"]))
+    assert np.isfinite(float(am["g_loss"]))
+
+
 def test_adapt_with_multi_level_critic(tiny_config):
     """BASELINE config 5: one critic per tap, summed losses — full train
     step must run and move both stacks."""
