@@ -75,6 +75,22 @@ def _feed(sampler_pairs, prefetch=2, sharding=None):
     return pipeline.prefetch_to_device(sampler_pairs, prefetch, sharding)
 
 
+def _pick_inner(*counts, cap: int = 50) -> int:
+    """Largest dispatch-fusion factor <= cap dividing every phase length and
+    the logging grain (so scanned steps land exactly on boundaries)."""
+    import math
+    g = 0
+    for c in counts:
+        if c:
+            g = math.gcd(g, c)
+    if g <= 0:
+        return 1
+    for d in range(min(cap, g), 0, -1):
+        if g % d == 0:
+            return d
+    return 1
+
+
 def cmd_train_source(args):
     import jax
     from mcmda_tpu.data import pipeline, volumes as vio
@@ -93,11 +109,16 @@ def cmd_train_source(args):
     # device-resident dataset + on-device sampling when it fits HBM (zero
     # per-step host transfer); host sampler otherwise / under DP
     on_device = (not args.dp or args.dp <= 1) and ds.images.nbytes < 1 << 30
+    inner = 1
     if on_device:
         import itertools
-        step_fn = jax.jit(source.make_train_step(cfg,
-                                                 sample_from_device=True),
-                          donate_argnums=(0,) if cfg.run.donate else ())
+        # fuse dispatches up to the logging grain (hides dispatch latency)
+        inner = _pick_inner(cfg.source.steps, cfg.run.log_every,
+                            cfg.run.ckpt_every)
+        step_fn = jax.jit(
+            loop.scanned_step(source.make_train_step(
+                cfg, sample_from_device=True), inner),
+            donate_argnums=(0,) if cfg.run.donate else ())
         feed = itertools.repeat(
             pipeline.to_device_arrays(ds, cfg.data.num_classes))
     else:
@@ -127,7 +148,8 @@ def cmd_train_source(args):
                         seed=cfg.run.seed, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
                         logger=logger, start_step=start,
-                        callback=val_cb if args.out else None)
+                        callback=val_cb if args.out else None,
+                        inner_steps=inner)
     print(f"done; final checkpoint in {args.out}")
 
 
@@ -210,11 +232,16 @@ def cmd_adapt(args):
         import jax.numpy as jnp
         return jnp.asarray(x)
 
+    inner = _pick_inner(cfg.adapt.pretrain_steps, cfg.adapt.steps,
+                        cfg.run.log_every, cfg.run.ckpt_every) \
+        if on_device else 1
+
     def mk_step(**kw):
         if on_device:
-            return jax.jit(adapt.make_adapt_step(cfg, sample_from_device=True,
-                                                 **kw),
-                           donate_argnums=(0,) if cfg.run.donate else ())
+            return jax.jit(
+                loop.scanned_step(adapt.make_adapt_step(
+                    cfg, sample_from_device=True, **kw), inner),
+                donate_argnums=(0,) if cfg.run.donate else ())
         return _wrap_dp(cfg, adapt.make_adapt_step, args, **kw)[0]
 
     # T3: discriminator warm-up phase, then the full alternating step
@@ -222,14 +249,15 @@ def cmd_adapt(args):
         state, _ = loop.run(mk_step(train_g=False), state, make_feed(),
                             cfg.adapt.pretrain_steps, seed=cfg.run.seed + 5,
                             log_every=cfg.run.log_every, logger=logger,
-                            start_step=start)
+                            start_step=start, inner_steps=inner)
         start = cfg.adapt.pretrain_steps
     state, _ = loop.run(mk_step(), state, make_feed(),
                         cfg.adapt.pretrain_steps + cfg.adapt.steps,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
                         logger=logger, start_step=start,
-                        callback=snapshot_cb if args.out else None)
+                        callback=snapshot_cb if args.out else None,
+                        inner_steps=inner)
     print(f"done; final checkpoint in {args.out}")
 
 
@@ -321,7 +349,10 @@ def main(argv=None):
     if cfg_probe.run.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
-    return args.fn(args)
+    ret = args.fn(args)
+    # command fns may return rich results (evaluate returns the metric
+    # table for library callers); the PROCESS exit code is success/failure
+    return ret if isinstance(ret, int) else 0
 
 
 if __name__ == "__main__":

@@ -145,6 +145,10 @@ class AdaptConfig:
     # R1 gradient penalty on real (source) features — 0 disables. Stabilizes
     # the critic on hard real-data runs; not in the reference (rebuild knob).
     r1_gamma: float = 0.0
+    # Critic throttle: skip the D update while its patch accuracy exceeds
+    # this cap (1.0 = never skip). Keeps the minimax in the regime where the
+    # DAM still receives useful gradients (rebuild stabilizer knob).
+    d_acc_cap: float = 1.0
     # BN handling in the frozen higher-layer module on the target path:
     # "batch"  — frozen params but batch statistics from target activations
     # "frozen" — use the source running statistics everywhere

@@ -51,7 +51,15 @@ def make_txs(cfg: ExperimentConfig):
 
 
 def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
-    """Boot adaptation from a phase-1 source checkpoint (K1 handoff)."""
+    """Boot adaptation from a phase-1 source checkpoint (K1 handoff).
+
+    The source trees are COPIED: training steps donate the whole AdaptState,
+    and sharing buffers with the caller's checkpoint would invalidate it
+    after the first step (a real footgun when running several adaptations
+    off one source state, e.g. ablations).
+    """
+    src_params = jax.tree.map(jnp.array, src_params)
+    src_bn = jax.tree.map(jnp.array, src_bn)
     dam = segmenter.dam_init_from_source(src_params, cfg.segmenter,
                                          cfg.adapt.plug_depth)
     critic_params = critic_mod.init(rng, cfg.critic, cfg.segmenter)
@@ -132,9 +140,13 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
             grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt = tx_d.update(grads, state.opt_d_state,
                                        state.critic_params)
+        acc = losses.critic_accuracy(l_s, l_t)
+        if a.d_acc_cap < 1.0:
+            # throttle: zero the update while the critic is too far ahead
+            gate = (acc <= a.d_acc_cap).astype(jnp.float32)
+            updates = jax.tree.map(lambda u: u * gate, updates)
         new_critic = jax.tree.map(lambda p, u: p + u, state.critic_params,
                                   updates)
-        acc = losses.critic_accuracy(l_s, l_t)
         return state.replace(critic_params=new_critic, opt_d_state=new_opt), \
             {"d_loss": dl, "d_acc": acc}
 

@@ -36,35 +36,66 @@ class _PreemptionGuard:
         return False
 
 
+def scanned_step(step_fn: Callable, inner_steps: int) -> Callable:
+    """Fuse ``inner_steps`` consecutive train steps into ONE device dispatch
+    via lax.scan (state carried; per-inner-step rng folded from the outer
+    key).  Requires the batch argument to be loop-invariant — i.e. a
+    device-resident dataset (pipeline.to_device_arrays) whose sampling
+    happens inside the step.  On remote-attached chips this hides dispatch
+    latency entirely (see BASELINE.md methodology notes).
+
+    Returns a step with the same (state, batch, rng) signature reporting the
+    LAST inner step's metrics.
+    """
+    import jax.numpy as jnp
+
+    def fused(state, batch, rng):
+        def body(st, k):
+            st, m = step_fn(st, batch, jax.random.fold_in(rng, k))
+            return st, m
+        state, ms = jax.lax.scan(body, state, jnp.arange(inner_steps))
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    return fused
+
+
 def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
         seed: int = 0, log_every: int = 50, ckpt_every: int = 0,
         ckpt_dir: str | None = None, logger: mlog.MetricsLogger | None = None,
         start_step: int = 0, callback: Callable | None = None,
-        keep_checkpoints: int = 3):
-    """Drive ``step_fn(state, batch, rng)`` for ``num_steps``.
+        keep_checkpoints: int = 3, inner_steps: int = 1):
+    """Drive ``step_fn(state, batch, rng)`` for ``num_steps`` TRAIN steps.
 
-    The rng handed to each step derives from (seed, step) so a resumed run
-    replays identical augmentation randomness from its restart point.
+    The rng handed to each dispatch derives from (seed, step) so a resumed
+    run replays identical augmentation randomness from its restart point.
     ``callback(step, state)`` fires at every checkpoint interval (qualitative
     snapshot dumps, eval probes — the reference's periodic T2 side effects).
+
+    ``inner_steps > 1``: ``step_fn`` must be a ``scanned_step`` advancing
+    that many train steps per call; num_steps/start_step/log_every/
+    ckpt_every stay in TRAIN-step units (rounded to multiples).
     """
     logger = logger or mlog.MetricsLogger(echo=False)
     root = prng.root_key(seed)
     last_metrics = {}
+    k = max(1, inner_steps)
     with _PreemptionGuard() as guard:
-        for step in range(start_step, num_steps):
+        for outer in range(start_step // k, num_steps // k):
+            step = (outer + 1) * k - 1  # index of the last train step done
             batch = next(batches)
-            state, metrics = step_fn(state, batch, prng.step_key(root, step))
-            if log_every and (step % log_every == 0 or step == num_steps - 1):
-                last_metrics = {k: float(v) for k, v in
+            state, metrics = step_fn(state, batch, prng.step_key(root, outer))
+            if log_every and (step % log_every < k or step >= num_steps - k):
+                last_metrics = {kk: float(v) for kk, v in
                                 jax.device_get(metrics).items()}
                 logger.log(step, last_metrics)
-            if ckpt_every and step > 0 and step % ckpt_every == 0:
+            if ckpt_every and step + 1 < num_steps and \
+                    (step + 1) % ckpt_every < k:
                 if ckpt_dir:
-                    checkpoint.save(os.path.join(ckpt_dir), state, step=step)
+                    checkpoint.save(os.path.join(ckpt_dir), state,
+                                    step=step + 1)
                     checkpoint.prune(ckpt_dir, keep_checkpoints)
                 if callback is not None:
-                    callback(step, state)
+                    callback(step + 1, state)
             if guard.fired:
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state,

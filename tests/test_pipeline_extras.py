@@ -74,6 +74,43 @@ def test_preprocess_mmwhs_script(tmp_path):
     assert not (out / "ct" / "labels").exists()
 
 
+def test_scanned_step_equals_sequential(tiny_config):
+    """K fused steps == K sequential steps (same rng folding)."""
+    import jax
+    from mcmda_tpu.data import synthetic, volumes as vio
+    from mcmda_tpu.train import loop, source
+
+    cfg = tiny_config
+    vols, labs = synthetic.make_dataset(0, "mri", 1, 8, 32)
+    data = pipeline.to_device_arrays(vio.volumes_to_slices(vols, labs),
+                                     cfg.data.num_classes)
+    base = source.make_train_step(cfg, sample_from_device=True)
+    s0 = source.init_state(jax.random.key(0), cfg)
+    # sequential
+    s_seq = s0
+    rng = jax.random.key(5)
+    for k in range(4):
+        s_seq, m_seq = base(s_seq, data, jax.random.fold_in(rng, k))
+    # fused
+    fused = jax.jit(loop.scanned_step(base, 4))
+    s_f, m_f = fused(s0, data, rng)
+    assert int(s_f.step) == int(s_seq.step) == 4
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_seq["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(__import__("jax").tree.leaves(s_seq.params),
+                    __import__("jax").tree.leaves(s_f.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pick_inner():
+    from mcmda_tpu.cli import _pick_inner
+    assert _pick_inner(800, 200, 150) == 50
+    assert _pick_inner(60, 40, 20) == 20
+    assert _pick_inner(0, 0) == 1
+    assert _pick_inner(7, 13) == 1
+    assert _pick_inner(1000, 1000) == 50
+
+
 def test_loop_resume_roundtrip(tmp_path, tiny_config):
     import dataclasses
     import jax

@@ -172,6 +172,19 @@ def test_checkpoint_prune(tmp_path, tiny_config):
     assert steps == ["step_00000015", "step_00000020"]
 
 
+def test_d_acc_cap_throttles_critic(adapt_setup):
+    """With cap 0.0 the critic update is always gated off -> params frozen."""
+    import dataclasses
+    cfg, state, batch = adapt_setup
+    cfg_t = dataclasses.replace(cfg, adapt=dataclasses.replace(
+        cfg.adapt, d_acc_cap=0.0))
+    step = jax.jit(adapt.make_adapt_step(cfg_t, train_g=False, augment=False))
+    new_state, m = step(state, batch, jax.random.key(0))
+    for a, b in zip(jax.tree.leaves(state.critic_params),
+                    jax.tree.leaves(new_state.critic_params)):
+        np.testing.assert_allclose(a, b)
+
+
 def test_r1_penalty_changes_d_loss(adapt_setup):
     import dataclasses
     cfg, state, batch = adapt_setup
