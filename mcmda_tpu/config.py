@@ -149,6 +149,11 @@ class AdaptConfig:
     # this cap (1.0 = never skip). Keeps the minimax in the regime where the
     # DAM still receives useful gradients (rebuild stabilizer knob).
     d_acc_cap: float = 1.0
+    # LR schedule for BOTH optimizers over `steps` ("constant" | "cosine").
+    # Cosine decay locks in the adversarial equilibrium instead of letting
+    # the minimax oscillate away from it on long runs (measured: Dice peaks
+    # then collapses with constant lr).
+    lr_schedule: str = "constant"
     # BN handling in the frozen higher-layer module on the target path:
     # "batch"  — frozen params but batch statistics from target activations
     # "frozen" — use the source running statistics everywhere

@@ -45,8 +45,11 @@ class AdaptState:
 
 def make_txs(cfg: ExperimentConfig):
     a = cfg.adapt
-    tx_g = optim.make_optimizer(a.lr_g, a.beta1, a.beta2)
-    tx_d = optim.make_optimizer(a.lr_d, a.beta1, a.beta2)
+    total = a.pretrain_steps + a.steps
+    tx_g = optim.make_optimizer(a.lr_g, a.beta1, a.beta2,
+                                schedule=a.lr_schedule, total_steps=total)
+    tx_d = optim.make_optimizer(a.lr_d, a.beta1, a.beta2,
+                                schedule=a.lr_schedule, total_steps=total)
     return tx_g, tx_d
 
 
