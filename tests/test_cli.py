@@ -36,9 +36,15 @@ def test_shipped_configs_parse():
         with open(os.path.join(here, "configs", name)) as f:
             cfg = ExperimentConfig.from_json(f.read())
         assert cfg.segmenter.total_stride == 8
-    # config-5 reverse direction uses multi-level discriminators
+    # tuned stability recipe is baked into the benchmark configs
+    with open(os.path.join(here, "configs", "mri2ct.json")) as f:
+        cfg = ExperimentConfig.from_json(f.read())
+    assert cfg.adapt.gan_loss == "lsgan"
+    assert cfg.adapt.lr_schedule == "cosine"
+    assert cfg.adapt.d_acc_cap < 1.0
+    # config-5 reverse direction discriminates on multi-level features
     with open(os.path.join(here, "configs", "ct2mri.json")) as f:
-        assert ExperimentConfig.from_json(f.read()).critic.mode == "multi"
+        assert len(ExperimentConfig.from_json(f.read()).critic.taps) >= 2
 
 
 def test_parser_subcommands():
