@@ -22,15 +22,21 @@ _scan_cache = {}
 def _scanned_argmax(forward, shape_key):
     """jit(scan(forward)) over a [K,B,H,W,C] slice stack — ONE device
     dispatch per volume (the per-batch Python loop pays host<->device
-    dispatch latency per call, which dominates on remote-attached chips)."""
-    if (id(forward), shape_key) not in _scan_cache:
+    dispatch latency per call, which dominates on remote-attached chips).
+
+    Cached per (forward object, shape) so repeated volumes reuse the
+    compilation; keying by the object (not id()) avoids stale entries when
+    ids are recycled after GC.
+    """
+    key = (forward, shape_key)
+    if key not in _scan_cache:
         def run(stacks):
             def body(_, xb):
                 return None, jnp.argmax(forward(xb), -1).astype(jnp.int32)
             _, preds = jax.lax.scan(body, None, stacks)
             return preds
-        _scan_cache[(id(forward), shape_key)] = jax.jit(run)
-    return _scan_cache[(id(forward), shape_key)]
+        _scan_cache[key] = jax.jit(run)
+    return _scan_cache[key]
 
 
 def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
