@@ -1,0 +1,49 @@
+"""Regression tests for the driver entry points (__graft_entry__).
+
+The round-1 failure mode: ``dryrun_multichip`` relied on the CALLER's env to
+force the virtual CPU platform, and dispatched eagerly onto a broken
+accelerator client.  It must now be self-contained — green under a hostile
+environment (JAX_PLATFORMS/XLA_FLAGS unset) in a fresh process.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _hostile_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    # keep any accelerator plugin OFF the fast path in CI-like contexts:
+    # the whole point is that dryrun_multichip forces cpu itself
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def test_dryrun_multichip_forces_virtual_cpu_mesh():
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8); print('OK8')"],
+        cwd=REPO, env=_hostile_env(), capture_output=True, text=True,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK8" in r.stdout
+
+
+def test_dryrun_multichip_survives_prior_backend_init():
+    """Even if the process already initialized a backend (e.g. the driver ran
+    entry() first), the dryrun must rebuild the CPU client with n devices."""
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones(3)  # force default-backend init first\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "print('OK8-after-init')\n")
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                       env=_hostile_env(), capture_output=True, text=True,
+                       timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "OK8-after-init" in r.stdout
