@@ -17,6 +17,8 @@ from mcmda_tpu.data import volumes as vol_io
 
 
 _scan_cache = {}
+_SCAN_CACHE_MAX = 32  # LRU bound: long-lived serving processes must not
+# accumulate one compiled executable per (forward, shape) forever
 
 
 def _scanned_argmax(forward, shape_key):
@@ -26,29 +28,40 @@ def _scanned_argmax(forward, shape_key):
 
     Cached per (forward object, shape) so repeated volumes reuse the
     compilation; keying by the object (not id()) avoids stale entries when
-    ids are recycled after GC.
+    ids are recycled after GC.  LRU-bounded (move-to-end on hit).
     """
     key = (forward, shape_key)
-    if key not in _scan_cache:
-        def run(stacks):
+    run = _scan_cache.pop(key, None)  # pop+reinsert = move to MRU end
+    if run is None:
+        def run_fn(stacks, *fargs):
             def body(_, xb):
-                return None, jnp.argmax(forward(xb), -1).astype(jnp.int32)
+                return None, jnp.argmax(forward(xb, *fargs),
+                                        -1).astype(jnp.int32)
             _, preds = jax.lax.scan(body, None, stacks)
             return preds
-        _scan_cache[key] = jax.jit(run)
-    return _scan_cache[key]
+        run = jax.jit(run_fn)
+        while len(_scan_cache) >= _SCAN_CACHE_MAX:
+            del _scan_cache[next(iter(_scan_cache))]  # evict LRU (dict order)
+    _scan_cache[key] = run
+    return run
 
 
 def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
-                   batch_size: int = 8, single_dispatch: bool = True
-                   ) -> np.ndarray:
-    """Run ``forward(images[B,H,W,ctx]) -> probs[B,H,W,K]`` over every slice
-    of [S,H,W] ``volume``; returns the stitched label volume [S,H,W] int32.
+                   batch_size: int = 8, single_dispatch: bool = True,
+                   fwd_args: tuple = ()) -> np.ndarray:
+    """Run ``forward(images[B,H,W,ctx], *fwd_args) -> probs[B,H,W,K]`` over
+    every slice of [S,H,W] ``volume``; returns the stitched label volume
+    [S,H,W] int32.
 
     With ``single_dispatch`` (default) ``forward`` must be jittable
     (single-device or mesh-sharded) and the whole volume runs as ONE scanned
     device dispatch (E1 hot loop).  ``single_dispatch=False`` loops batches
     on the host for non-traceable forwards (test oracles).
+
+    ``fwd_args`` (e.g. params/BN state) are passed as jit ARGUMENTS, not
+    closed over: callers evaluating a stream of checkpoints keep ONE stable
+    ``forward`` and compile once, instead of recompiling (and leaking device
+    buffers through the cache) per checkpoint.
     """
     stacked = vol_io.stack_context(volume, context)  # [S,H,W,ctx]
     s = stacked.shape[0]
@@ -60,11 +73,11 @@ def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
         stacks = jnp.asarray(stacked.reshape((k, batch_size)
                                              + stacked.shape[1:]))
         run = _scanned_argmax(forward, (k,) + stacks.shape[1:])
-        preds = np.asarray(jax.device_get(run(stacks)), np.int32)
+        preds = np.asarray(jax.device_get(run(stacks, *fwd_args)), np.int32)
         return preds.reshape((-1,) + preds.shape[2:])[:s]
     preds = []
     for i in range(0, stacked.shape[0], batch_size):
-        probs = forward(jnp.asarray(stacked[i:i + batch_size]))
+        probs = forward(jnp.asarray(stacked[i:i + batch_size]), *fwd_args)
         preds.append(np.asarray(jax.device_get(jnp.argmax(probs, -1)),
                                 np.int32))
     return np.concatenate(preds, 0)[:s]

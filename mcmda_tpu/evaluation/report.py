@@ -16,11 +16,18 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
                      labels: Sequence[np.ndarray], *, context: int = 3,
                      batch_size: int = 8, spacing=None,
                      structures: dict = STRUCTURES,
-                     single_dispatch: bool = True) -> dict:
+                     single_dispatch: bool = True,
+                     fwd_args: tuple = ()) -> dict:
     """Evaluate a forward fn over test volumes -> aggregated metric table.
 
     ``spacing``: None (voxel units), one [3] spacing for all volumes, or a
-    per-volume sequence of spacings (mm-correct ASD, E2)."""
+    per-volume sequence of spacings (mm-correct ASD, E2).
+
+    Structures the model misses entirely (empty prediction, non-empty truth)
+    have infinite ASSD; silently dropping them would optimistically bias the
+    mean exactly for the worst predictions, so each miss instead contributes
+    the volume diagonal (the worst finite surface distance possible in that
+    volume) and the per-structure ``assd_misses`` count is reported."""
     per_vol = []
     for i, (vol, lab) in enumerate(zip(volumes, labels)):
         sp = spacing
@@ -28,27 +35,41 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
             sp = spacing[i]
         pred = inference.predict_volume(forward, vol, context=context,
                                         batch_size=batch_size,
-                                        single_dispatch=single_dispatch)
-        per_vol.append(metrics3d.per_structure(pred, lab, structures, sp))
+                                        single_dispatch=single_dispatch,
+                                        fwd_args=fwd_args)
+        pv = metrics3d.per_structure(pred, lab, structures, sp)
+        diag = float(np.linalg.norm(
+            np.asarray(vol.shape, np.float64)
+            * (np.ones(3) if sp is None else np.asarray(sp, np.float64))))
+        for name in structures.values():
+            pv[name]["assd_miss"] = bool(np.isinf(pv[name]["assd"]))
+            if pv[name]["assd_miss"]:
+                pv[name]["assd"] = diag
+        per_vol.append(pv)
     agg = {}
     for name in structures.values():
         dices = [pv[name]["dice"] for pv in per_vol]
         assds = [pv[name]["assd"] for pv in per_vol
-                 if np.isfinite(pv[name]["assd"])]
+                 if np.isfinite(pv[name]["assd"])]  # nan = truth empty
         agg[name] = {"dice": float(np.mean(dices)),
-                     "assd": float(np.mean(assds)) if assds else float("nan")}
+                     "assd": float(np.mean(assds)) if assds else float("nan"),
+                     "assd_misses": int(sum(pv[name]["assd_miss"]
+                                            for pv in per_vol))}
     agg["mean"] = {
         "dice": float(np.mean([agg[n]["dice"] for n in structures.values()])),
         "assd": float(np.nanmean([agg[n]["assd"]
                                   for n in structures.values()])),
+        "assd_misses": int(sum(agg[n]["assd_misses"]
+                               for n in structures.values())),
     }
     return agg
 
 
 def format_table(agg: dict) -> str:
     names = [n for n in agg if n != "mean"] + ["mean"]
-    lines = [f"{'structure':>10} {'Dice':>8} {'ASSD':>8}"]
+    lines = [f"{'structure':>10} {'Dice':>8} {'ASSD':>8} {'miss':>5}"]
     for n in names:
+        miss = agg[n].get("assd_misses", 0)
         lines.append(f"{n:>10} {agg[n]['dice'] * 100:8.1f} "
-                     f"{agg[n]['assd']:8.2f}")
+                     f"{agg[n]['assd']:8.2f} {miss:5d}")
     return "\n".join(lines)

@@ -11,7 +11,6 @@ from functools import partial
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 
 def data_parallel_step(step_fn, mesh: Mesh, axis: str = "data",
@@ -21,8 +20,8 @@ def data_parallel_step(step_fn, mesh: Mesh, axis: str = "data",
     Per-shard augmentation randomness: the replicated rng is folded with the
     shard's axis index so each replica augments its slice differently.
     """
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(axis), P()),
-             out_specs=(P(), P()), check_rep=False)
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(axis), P()),
+             out_specs=(P(), P()), check_vma=False)
     def sharded(state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         new_state, metrics = step_fn(state, batch, rng)
@@ -32,16 +31,24 @@ def data_parallel_step(step_fn, mesh: Mesh, axis: str = "data",
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
-def data_parallel_forward(fwd_fn, mesh: Mesh, axis: str = "data"):
+def data_parallel_forward(fwd_fn, fwd_mesh: Mesh, axis: str = "data"):
     """Shard a pure forward (params..., image) over the batch axis for
-    high-throughput eval (SURVEY: shard a volume's slice axis across devices)."""
-    n_args = None  # inferred per call via *args
+    high-throughput eval (SURVEY: shard a volume's slice axis across devices).
+
+    The shard_map'd + jitted callable is built ONCE per argument count and
+    reused across calls, so repeated volume evals over a mesh pay zero
+    re-tracing (serving path; jit itself caches per concrete shape).
+    """
+    compiled: dict[int, callable] = {}
 
     def wrapped(*args):
-        in_specs = tuple([P()] * (len(args) - 1) + [P(axis)])
-        f = shard_map(fwd_fn, mesh=mesh, in_specs=in_specs, out_specs=P(axis),
-                      check_rep=False)
-        return jax.jit(f)(*args)
+        f = compiled.get(len(args))
+        if f is None:
+            in_specs = tuple([P()] * (len(args) - 1) + [P(axis)])
+            f = jax.jit(jax.shard_map(fwd_fn, mesh=fwd_mesh,
+                                      in_specs=in_specs, out_specs=P(axis),
+                                      check_vma=False))
+            compiled[len(args)] = f
+        return f(*args)
 
-    del n_args
     return wrapped

@@ -139,15 +139,24 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
 
         (dl, (l_s, l_t)), grads = jax.value_and_grad(loss, has_aux=True)(
             state.critic_params)
+        acc = losses.critic_accuracy(l_s, l_t)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
+            # GLOBAL accuracy: every replica must make the same throttle
+            # decision or critic params silently diverge under DP
+            acc = jax.lax.pmean(acc, axis_name)
         updates, new_opt = tx_d.update(grads, state.opt_d_state,
                                        state.critic_params)
-        acc = losses.critic_accuracy(l_s, l_t)
         if a.d_acc_cap < 1.0:
-            # throttle: zero the update while the critic is too far ahead
-            gate = (acc <= a.d_acc_cap).astype(jnp.float32)
-            updates = jax.tree.map(lambda u: u * gate, updates)
+            # throttle: while the critic is too far ahead the step is a TRUE
+            # no-op — parameters AND optimizer state (Adam moments, schedule
+            # count) are held, so a gated critic resumes exactly where it
+            # paused rather than with stale momentum / decayed LR
+            gate = acc <= a.d_acc_cap
+            updates = jax.tree.map(
+                lambda u: u * gate.astype(u.dtype), updates)
+            new_opt = jax.tree.map(lambda n, o: jnp.where(gate, n, o),
+                                   new_opt, state.opt_d_state)
         new_critic = jax.tree.map(lambda p, u: p + u, state.critic_params,
                                   updates)
         return state.replace(critic_params=new_critic, opt_d_state=new_opt), \

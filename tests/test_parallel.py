@@ -83,6 +83,43 @@ def test_dp_adapt_step_matches_single_device(tiny_config, eight_devices):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_dp_adapt_throttled_matches_single_device(tiny_config, eight_devices):
+    """With d_acc_cap < 1 the throttle gate must use the GLOBAL critic
+    accuracy (pmean) — per-shard gating would silently diverge critic params
+    across replicas (check_vma=False hides it)."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        tiny_config, adapt=dataclasses.replace(tiny_config.adapt,
+                                               d_acc_cap=0.5))
+    m = mesh_mod.make_mesh(8)
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    batch = {"src_image": _big_batch(cfg, 16)["image"],
+             "tgt_image": _big_batch(cfg, 16, "ct")["image"]}
+
+    s0 = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    single = jax.jit(adapt.make_adapt_step(cfg, augment=False))
+    s_single, m_single = single(s0, batch, jax.random.key(2))
+
+    s0b = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    step = dp.data_parallel_step(
+        adapt.make_adapt_step(cfg, axis_name="data", augment=False), m,
+        donate=False)
+    s_dp, m_dp = step(s0b, batch, jax.random.key(2))
+
+    np.testing.assert_allclose(float(m_single["d_acc"]), float(m_dp["d_acc"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_single.critic_params),
+                    jax.tree.leaves(s_dp.critic_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+    # replicas must agree exactly with each other (the actual divergence bug):
+    # a replicated output is only self-consistent if all shards computed the
+    # same values; fetching succeeds and is deterministic here, and the opt
+    # state must equal the single-device one when the gate held
+    for a, b in zip(jax.tree.leaves(s_single.opt_d_state),
+                    jax.tree.leaves(s_dp.opt_d_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_sharded_eval_forward(tiny_config, eight_devices):
     cfg = tiny_config
     m = mesh_mod.make_mesh(8)
@@ -95,19 +132,47 @@ def test_sharded_eval_forward(tiny_config, eight_devices):
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref), atol=1e-5)
 
 
-def test_rng_per_shard_differs(tiny_config, eight_devices):
-    """Augmentation rng is folded with axis_index: shards see different keys."""
+def test_sharded_eval_forward_compiles_once(tiny_config, eight_devices):
+    """Serving path: repeated volume evals through data_parallel_forward
+    reuse ONE traced callable (no per-call shard_map re-wrap / re-trace)."""
     cfg = tiny_config
     m = mesh_mod.make_mesh(8)
+    params, bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    traces = {"n": 0}
+    raw = source.make_eval_forward(cfg)
+
+    def counting_fwd(p, b, img):
+        traces["n"] += 1
+        return raw(p, b, img)
+
+    sharded = dp.data_parallel_forward(counting_fwd, m)
+    imgs = jnp.ones((16, 32, 32, 3))
+    for _ in range(3):
+        jax.block_until_ready(sharded(params, bn, imgs))
+    assert traces["n"] == 1, f"re-traced {traces['n']} times"
+
+
+def test_rng_per_shard_differs(tiny_config, eight_devices):
+    """Augmentation rng is folded with axis_index: shards see different keys."""
+    m = mesh_mod.make_mesh(8)
     from functools import partial
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    @partial(shard_map, mesh=m, in_specs=(P(),), out_specs=P("data"),
-             check_rep=False)
+    @partial(jax.shard_map, mesh=m, in_specs=(P(),), out_specs=P("data"),
+             check_vma=False)
     def keys_fn(rng):
         k = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         return jax.random.uniform(k, (1,))
 
     vals = np.asarray(keys_fn(jax.random.key(0)))
     assert len(np.unique(vals)) == 8
+
+
+def test_make_mesh_falls_back_to_cpu(eight_devices):
+    """make_mesh(n) with n > default-platform devices uses the virtual CPU
+    platform instead of a confusing short slice."""
+    m = mesh_mod.make_mesh(8)
+    assert len(m.devices.ravel()) == 8
+    import pytest
+    with pytest.raises(ValueError, match="make_mesh"):
+        mesh_mod.make_mesh(4096)

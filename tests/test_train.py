@@ -166,6 +166,7 @@ def test_checkpoint_prune(tmp_path, tiny_config):
     for s in (5, 10, 15, 20):
         ck.save(str(tmp_path), st, step=s)
     ck.prune(str(tmp_path), keep=2)
+    ck.wait_pending()  # commit the (possibly) in-flight async save of 20
     assert ck.latest_step(str(tmp_path)) == 20
     import os
     steps = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
@@ -173,7 +174,9 @@ def test_checkpoint_prune(tmp_path, tiny_config):
 
 
 def test_d_acc_cap_throttles_critic(adapt_setup):
-    """With cap 0.0 the critic update is always gated off -> params frozen."""
+    """With cap 0.0 the critic update is always gated off: a gated step is a
+    TRUE no-op — params AND optimizer state (Adam moments, schedule count)
+    hold, so the critic resumes exactly where it paused."""
     import dataclasses
     cfg, state, batch = adapt_setup
     cfg_t = dataclasses.replace(cfg, adapt=dataclasses.replace(
@@ -183,6 +186,9 @@ def test_d_acc_cap_throttles_critic(adapt_setup):
     for a, b in zip(jax.tree.leaves(state.critic_params),
                     jax.tree.leaves(new_state.critic_params)):
         np.testing.assert_allclose(a, b)
+    for a, b in zip(jax.tree.leaves(state.opt_d_state),
+                    jax.tree.leaves(new_state.opt_d_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
 def test_r1_penalty_changes_d_loss(adapt_setup):
