@@ -99,7 +99,7 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
             if guard.fired:
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state,
-                                    step=step + 1)
+                                    step=step + 1, block=True)
                     print(f"[loop] preemption signal: checkpointed at step "
                           f"{step + 1} and stopped", flush=True)
                 return state, last_metrics

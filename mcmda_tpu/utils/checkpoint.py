@@ -22,22 +22,57 @@ try:  # orbax is in the image; fallback keeps tests hermetic
 except Exception:  # pragma: no cover
     _HAVE_ORBAX = False
 
+_async_ckptr = None
+
+
+def _checkpointer():
+    """Process-wide async checkpointer: saves overlap the next train steps;
+    ``wait_pending()`` (called before restore/prune/exit) is the barrier."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        import atexit
+        atexit.register(wait_pending)
+    return _async_ckptr
+
+
+def wait_pending() -> None:
+    """Block until every in-flight async save has committed to disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
 
 def _flatten(tree) -> dict:
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     return {jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat}
 
 
-def save(path: str, tree: Any, step: int | None = None) -> str:
-    """Save a pytree. Returns the concrete checkpoint path."""
+def save(path: str, tree: Any, step: int | None = None,
+         block: bool = False) -> str:
+    """Save a pytree (async under Orbax unless ``block``). Returns the
+    concrete checkpoint path."""
     if step is not None:
         path = os.path.join(path, f"step_{step:08d}")
+    if jax.process_count() > 1:
+        # Multi-host: train state is REPLICATED, so process 0 writes a
+        # barrier-free npz for everyone.  (Orbax's multihost path inserts
+        # cross-process sync collectives on every save — correct for sharded
+        # state, pure overhead + a divergence hazard for replicated state if
+        # any process skips a save.)
+        if jax.process_index() != 0:
+            return path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path + ".npz", **_flatten(tree))
+        return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if _HAVE_ORBAX:
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(path), jax.tree.map(np.asarray, tree),
-                   force=True)
-        ckptr.wait_until_finished()
+        ckptr = _checkpointer()
+        # host copy is synchronous (device buffers are safe to donate right
+        # after return); the disk write proceeds in the background
+        ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(
+            jax.tree.map(np.asarray, tree)), force=True)
+        if block:
+            ckptr.wait_until_finished()
     else:  # pragma: no cover
         np.savez(path + ".npz", **_flatten(tree))
     return path
@@ -45,6 +80,7 @@ def save(path: str, tree: Any, step: int | None = None) -> str:
 
 def restore(path: str, like: Any) -> Any:
     """Restore a pytree with the structure/dtypes of ``like``."""
+    wait_pending()
     if _HAVE_ORBAX and os.path.isdir(path):
         ckptr = ocp.StandardCheckpointer()
         target = jax.tree.map(np.asarray, like)
@@ -62,8 +98,12 @@ def prune(ckpt_dir: str, keep: int = 3) -> None:
     import shutil
     if not os.path.isdir(ckpt_dir) or keep <= 0:
         return
-    steps = sorted(int(m.group(1)) for n in os.listdir(ckpt_dir)
-                   if (m := re.match(r"step_(\d+)$", n)))
+    # No barrier needed: AsyncCheckpointer serializes saves (at most one in
+    # flight = the NEWEST step), and prune never deletes the newest ``keep``.
+    # An in-flight step's ".orbax-checkpoint-tmp" dir COUNTS toward the
+    # inventory (it will commit) but is never itself deleted.
+    steps = sorted({int(m.group(1)) for n in os.listdir(ckpt_dir)
+                    if (m := re.match(r"step_(\d+)(\.npz$|$|\.orbax)", n))})
     for s in steps[:-keep]:
         path = os.path.join(ckpt_dir, f"step_{s:08d}")
         if os.path.isdir(path):
@@ -73,9 +113,12 @@ def prune(ckpt_dir: str, keep: int = 3) -> None:
 
 
 def latest_step(ckpt_dir: str) -> int | None:
-    """Find the newest step_XXXXXXXX checkpoint for restart-from-latest."""
+    """Find the newest COMMITTED step_XXXXXXXX checkpoint for
+    restart-from-latest (in-flight ``.orbax-checkpoint-tmp`` dirs — e.g.
+    left by a crashed run — are not restorable and are skipped)."""
+    wait_pending()  # commit this process's own in-flight saves first
     if not os.path.isdir(ckpt_dir):
         return None
     steps = [int(m.group(1)) for n in os.listdir(ckpt_dir)
-             if (m := re.match(r"step_(\d+)", n))]
+             if (m := re.match(r"step_(\d+)(\.npz)?$", n))]
     return max(steps) if steps else None

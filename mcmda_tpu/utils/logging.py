@@ -18,6 +18,12 @@ from typing import IO, Mapping
 class MetricsLogger:
     def __init__(self, path: str | None = None, echo: bool = True,
                  stream: IO | None = None, tensorboard_dir: str | None = None):
+        try:  # multi-host: only process 0 writes files / echoes
+            import jax
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                path, tensorboard_dir, echo = None, None, False
+        except Exception:
+            pass
         self.path = path
         self.echo = echo
         self.stream = stream or sys.stdout
