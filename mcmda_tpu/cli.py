@@ -91,6 +91,22 @@ def _pick_inner(*counts, cap: int = 50) -> int:
     return 1
 
 
+def _multihost_active() -> bool:
+    import jax
+    return jax.process_count() > 1
+
+
+def _maybe_init_multihost(args) -> bool:
+    """Join a multi-process world when requested (TPU pods auto-detect; the
+    CPU tier passes coordinator/num-processes/process-id explicitly)."""
+    if not getattr(args, "multihost", False):
+        return False
+    from mcmda_tpu.parallel import multihost
+    return multihost.initialize(args.coordinator, args.num_processes,
+                                args.process_id,
+                                cpu_gloo=args.mh_cpu_gloo)
+
+
 def cmd_train_source(args):
     import jax
     from mcmda_tpu.data import pipeline, volumes as vio
@@ -98,6 +114,7 @@ def cmd_train_source(args):
     from mcmda_tpu.utils import logging as mlog
 
     cfg = _load_config(args.config, args.set)
+    _maybe_init_multihost(args)
     (src_vols, src_labs), _, _ = _get_data(args, cfg, args.direction)
     ds = vio.volumes_to_slices(src_vols, src_labs,
                                context=cfg.data.context_slices,
@@ -107,26 +124,28 @@ def cmd_train_source(args):
     state = source.init_state(jax.random.key(cfg.run.seed), cfg)
     state, start = loop.maybe_resume(args.out, state)
     # device-resident dataset + on-device sampling when it fits HBM (zero
-    # per-step host transfer); host sampler otherwise / under DP
-    on_device = (not args.dp or args.dp <= 1) and ds.images.nbytes < 1 << 30
+    # per-step host transfer); sharded across replicas under single-process
+    # DP; host sampler + global-batch assembly under multi-host
+    on_device = not _multihost_active() and ds.images.nbytes < 1 << 30
     inner = 1
     if on_device:
         import itertools
         # fuse dispatches up to the logging grain (hides dispatch latency)
         inner = _pick_inner(cfg.source.steps, cfg.run.log_every,
                             cfg.run.ckpt_every)
-        step_fn = jax.jit(
-            loop.scanned_step(source.make_train_step(
-                cfg, sample_from_device=True), inner),
-            donate_argnums=(0,) if cfg.run.donate else ())
-        feed = itertools.repeat(
-            pipeline.to_device_arrays(ds, cfg.data.num_classes))
+        step_fn, device_data = _device_resident_dp(
+            cfg, source.make_train_step, args, inner,
+            lambda shd: pipeline.to_device_arrays(ds, cfg.data.num_classes,
+                                                  sharding=shd))
+        feed = itertools.repeat(device_data)
     else:
-        step_fn, global_batch = _wrap_dp(cfg, source.make_train_step, args)
+        step_fn, global_batch, to_global = _wrap_dp(cfg,
+                                                    source.make_train_step,
+                                                    args)
         sampler = iter(pipeline.BatchSampler(ds, global_batch,
-                                             seed=cfg.run.seed + 1,
+                                             seed=_host_seed(cfg.run.seed + 1),
                                              num_classes=cfg.data.num_classes))
-        feed = _feed(sampler)
+        feed = to_global(sampler)
     logger = mlog.MetricsLogger(
         os.path.join(args.out, "metrics.jsonl") if args.out else None,
         tensorboard_dir=os.path.join(args.out, "tb") if args.out else None)
@@ -136,12 +155,20 @@ def cmd_train_source(args):
     from mcmda_tpu.evaluation import report as report_mod
     val_vol, val_lab = src_vols[-1], src_labs[-1]
 
+    # ONE stable forward across all checkpoint callbacks: state enters as
+    # jit arguments (fwd_args), so every callback reuses a single compiled
+    # executable instead of recompiling (and retaining each checkpoint's
+    # params in the inference scan cache) per call
+    _eval_raw = source.make_eval_forward(cfg)
+
+    def _val_fwd(img, params, bn_state):
+        return _eval_raw(params, bn_state, img)
+
     def val_cb(step_i, st):
-        fwd = jax.jit(lambda img: source.make_eval_forward(cfg)(
-            st.params, st.bn_state, img))
-        agg = report_mod.evaluate_volumes(fwd, [val_vol], [val_lab],
-                                          context=cfg.data.context_slices,
-                                          batch_size=cfg.data.batch_size)
+        agg = report_mod.evaluate_volumes(
+            _val_fwd, [val_vol], [val_lab], context=cfg.data.context_slices,
+            batch_size=cfg.data.batch_size,
+            fwd_args=(st.params, st.bn_state))
         logger.log(step_i, {"val_dice": agg["mean"]["dice"]})
 
     state, _ = loop.run(step_fn, state, feed, cfg.source.steps,
@@ -153,18 +180,76 @@ def cmd_train_source(args):
     print(f"done; final checkpoint in {args.out}")
 
 
-def _wrap_dp(cfg, make_step, args, **mk_kwargs):
+def _host_seed(seed: int) -> int:
+    """Per-host sampler seed: each host must draw DIFFERENT batches."""
     import jax
+    return seed + 100003 * jax.process_index()
+
+
+def _wrap_dp(cfg, make_step, args, **mk_kwargs):
+    """Returns (step_fn, per-host global batch size, feed transform).
+
+    Multi-host: the mesh spans every process's devices; each host samples
+    its per-host share of the global batch and ``multihost.global_batch``
+    assembles the global arrays; state/rng are replicated lazily on first
+    step; psum/pmean inside the step ride ICI (and DCN across slices).
+    """
+    import jax
+    if _multihost_active():
+        from mcmda_tpu.parallel import dp, multihost
+        mesh = multihost.global_mesh()
+        inner = dp.data_parallel_step(
+            make_step(cfg, axis_name=cfg.parallel.data_axis, **mk_kwargs),
+            mesh, donate=False)
+
+        def mh_step(state, batch, rng):
+            state = multihost.ensure_replicated(state, mesh)
+            rng = multihost.replicate(rng, mesh)
+            return inner(state, batch, rng)
+
+        per_host = cfg.data.batch_size * jax.local_device_count()
+
+        def to_global(stream):
+            return (multihost.global_batch(b, mesh) for b in stream)
+
+        return mh_step, per_host, to_global
     if args.dp and args.dp > 1:
         from mcmda_tpu.parallel import dp, mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.dp)
         step = dp.data_parallel_step(
             make_step(cfg, axis_name=cfg.parallel.data_axis, **mk_kwargs),
             mesh, donate=cfg.run.donate)
-        return step, cfg.data.batch_size * args.dp
+        shd = mesh_mod.batch_sharding(mesh)
+        return step, cfg.data.batch_size * args.dp, \
+            lambda s: _feed(s, sharding=shd)
     return jax.jit(make_step(cfg, **mk_kwargs),
                    donate_argnums=(0,) if cfg.run.donate else ()), \
-        cfg.data.batch_size
+        cfg.data.batch_size, lambda s: _feed(s)
+
+
+def _device_resident_dp(cfg, make_step, args, inner, data_builder,
+                        **mk_kwargs):
+    """Device-resident dataset + scanned on-device-sampling step; the dataset
+    shards across replicas under --dp (each shard samples locally — the
+    single-process form of per-host input sharding)."""
+    import jax
+    from mcmda_tpu.train import loop
+    if args.dp and args.dp > 1:
+        from mcmda_tpu.parallel import dp, mesh as mesh_mod
+        mesh = mesh_mod.make_mesh(args.dp)
+        data = data_builder(mesh_mod.batch_sharding(mesh))
+        step = dp.data_parallel_step(
+            loop.scanned_step(
+                make_step(cfg, axis_name=cfg.parallel.data_axis,
+                          sample_from_device=True, **mk_kwargs), inner),
+            mesh, donate=cfg.run.donate)
+        return step, data
+    data = data_builder(None)
+    step = jax.jit(
+        loop.scanned_step(make_step(cfg, sample_from_device=True,
+                                    **mk_kwargs), inner),
+        donate_argnums=(0,) if cfg.run.donate else ())
+    return step, data
 
 
 def cmd_adapt(args):
@@ -174,6 +259,7 @@ def cmd_adapt(args):
     from mcmda_tpu.utils import checkpoint, logging as mlog
 
     cfg = _load_config(args.config, args.set)
+    _maybe_init_multihost(args)
     (src_vols, src_labs), tgt_train, _ = _get_data(args, cfg, args.direction)
     src_ds = vio.volumes_to_slices(src_vols, src_labs,
                                    context=cfg.data.context_slices,
@@ -188,42 +274,45 @@ def cmd_adapt(args):
                              src_state.params, src_state.bn_state)
     state, start = loop.maybe_resume(args.out, state)
 
-    on_device = (not args.dp or args.dp <= 1) and \
+    on_device = not _multihost_active() and \
         (src_ds.images.nbytes + tgt_ds.images.nbytes) < 1 << 30
     if on_device:
         import itertools
-        device_data = {"src": pipeline.to_device_arrays(src_ds),
-                       "tgt": pipeline.to_device_arrays(tgt_ds)}
+        shd = None
+        if args.dp and args.dp > 1:
+            from mcmda_tpu.parallel import mesh as mesh_mod
+            shd = mesh_mod.batch_sharding(mesh_mod.make_mesh(args.dp))
+        device_data = {"src": pipeline.to_device_arrays(src_ds, sharding=shd),
+                       "tgt": pipeline.to_device_arrays(tgt_ds, sharding=shd)}
 
         def make_feed():
             return itertools.repeat(device_data)
     else:
+        _, per_host, to_global = _wrap_dp(cfg, adapt.make_adapt_step, args)
         src_sampler = iter(pipeline.BatchSampler(
-            src_ds, cfg.data.batch_size * max(1, args.dp),
-            seed=cfg.run.seed + 3))
+            src_ds, per_host, seed=_host_seed(cfg.run.seed + 3)))
         tgt_sampler = iter(pipeline.BatchSampler(
-            tgt_ds, cfg.data.batch_size * max(1, args.dp),
-            seed=cfg.run.seed + 4))
+            tgt_ds, per_host, seed=_host_seed(cfg.run.seed + 4)))
 
         def make_feed():
             def pair_stream():
                 for sb, tb in zip(src_sampler, tgt_sampler):
                     yield {"src_image": sb["image"],
                            "tgt_image": tb["image"]}
-            return _feed(pair_stream())
+            return to_global(pair_stream())
 
     logger = mlog.MetricsLogger(
         os.path.join(args.out, "metrics.jsonl") if args.out else None,
         tensorboard_dir=os.path.join(args.out, "tb") if args.out else None)
 
-    # periodic qualitative dumps (the reference's T2 snapshot images)
+    # periodic qualitative dumps (the reference's T2 snapshot images);
+    # jitted ONCE — state is an argument, so callbacks never retrace
     snap_batch = tgt_ds.images[:4]
+    snap_fwd = jax.jit(adapt.adapted_forward(cfg))
 
     def snapshot_cb(step, st):
         from mcmda_tpu.evaluation import snapshots
-        import jax as _jax
-        probs = _jax.jit(adapt.adapted_forward(cfg))(st, jnp_asarray(
-            snap_batch))
+        probs = snap_fwd(st, jnp_asarray(snap_batch))
         snapshots.save_snapshot(
             os.path.join(args.out, "snapshots", f"step_{step:08d}.png"),
             snap_batch, np.asarray(probs.argmax(-1)))
@@ -238,10 +327,8 @@ def cmd_adapt(args):
 
     def mk_step(**kw):
         if on_device:
-            return jax.jit(
-                loop.scanned_step(adapt.make_adapt_step(
-                    cfg, sample_from_device=True, **kw), inner),
-                donate_argnums=(0,) if cfg.run.donate else ())
+            return _device_resident_dp(cfg, adapt.make_adapt_step, args,
+                                       inner, lambda _: device_data, **kw)[0]
         return _wrap_dp(cfg, adapt.make_adapt_step, args, **kw)[0]
 
     # T3: discriminator warm-up phase, then the full alternating step
@@ -321,6 +408,15 @@ def build_parser():
         sp.add_argument("--synthetic-volumes", type=int, default=4)
         sp.add_argument("--dp", type=int, default=0,
                         help="data-parallel over N devices")
+        sp.add_argument("--multihost", action="store_true",
+                        help="join a multi-process (pod) world via "
+                             "jax.distributed; auto-detects on TPU pods")
+        sp.add_argument("--coordinator", default=None,
+                        help="coordinator address host:port (manual runs)")
+        sp.add_argument("--num-processes", type=int, default=None)
+        sp.add_argument("--process-id", type=int, default=None)
+        sp.add_argument("--mh-cpu-gloo", action="store_true",
+                        help="CPU tier: use gloo cross-process collectives")
 
     sp = sub.add_parser("train-source", help="config 2: supervised source")
     common(sp)
