@@ -20,44 +20,126 @@ from typing import Tuple
 
 import numpy as np
 
-# ----------------------------------------------------------------- NIfTI-1
+# ------------------------------------------------------------- NIfTI-1 / -2
 _NIFTI_DTYPES = {
     2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
     64: np.float64, 256: np.int8, 512: np.uint16, 768: np.uint32,
+    1024: np.int64, 1280: np.uint64,
 }
 
 
-def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Minimal NIfTI-1 loader. Returns (data, affine-ish zooms[3]).
-
-    Supports .nii and .nii.gz, the standard dtypes, and scl_slope/scl_inter
-    rescaling. Data is returned in file (x,y,z) order as float32.
-    """
+def _read_file(path: str) -> bytes:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
-        raw = f.read()
-    hdr = raw[:348]
-    sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
-    if sizeof_hdr != 348:
-        raise ValueError(f"{path}: not a little-endian NIfTI-1 file")
-    dim = struct.unpack_from("<8h", hdr, 40)
-    ndim = dim[0]
+        return f.read()
+
+
+def _parse_nifti_header(hdr: bytes, path: str) -> dict:
+    """Parse a NIfTI-1 (348B) or NIfTI-2 (540B) header, either endianness.
+
+    Returns dict with shape, datatype, pixdim[8], vox_offset, scl, endian
+    ('<' or '>'), version, and sform rows (or None).
+    """
+    if len(hdr) < 348:
+        raise ValueError(f"{path}: truncated NIfTI header ({len(hdr)} bytes)")
+    size_le = struct.unpack_from("<i", hdr, 0)[0]
+    size_be = struct.unpack_from(">i", hdr, 0)[0]
+    if size_le == 348 or size_be == 348:
+        version, en = 1, ("<" if size_le == 348 else ">")
+    elif size_le == 540 or size_be == 540:
+        version, en = 2, ("<" if size_le == 540 else ">")
+    else:
+        raise ValueError(
+            f"{path}: not a NIfTI file (sizeof_hdr={size_le}, expected 348 "
+            "for NIfTI-1 or 540 for NIfTI-2)")
+    if version == 1:
+        magic = hdr[344:348]
+        # empty magic = ANALYZE-7.5-style header; read as single-file NIfTI-1
+        if magic[:3] not in (b"n+1", b"ni1", b"\x00\x00\x00"):
+            raise ValueError(f"{path}: bad NIfTI-1 magic {magic!r}")
+        dim = struct.unpack_from(f"{en}8h", hdr, 40)
+        datatype = struct.unpack_from(f"{en}h", hdr, 70)[0]
+        pixdim = struct.unpack_from(f"{en}8f", hdr, 76)
+        vox_offset = int(struct.unpack_from(f"{en}f", hdr, 108)[0])
+        scl_slope, scl_inter = struct.unpack_from(f"{en}2f", hdr, 112)
+        sform_code = struct.unpack_from(f"{en}h", hdr, 254)[0]
+        srow = (np.array(struct.unpack_from(f"{en}12f", hdr, 280),
+                         np.float64).reshape(3, 4)
+                if sform_code > 0 else None)
+        detached = magic[:3] == b"ni1"
+    else:
+        if len(hdr) < 540:
+            raise ValueError(f"{path}: truncated NIfTI-2 header")
+        magic = hdr[4:8]
+        if magic[:3] not in (b"n+2", b"ni2"):
+            raise ValueError(f"{path}: bad NIfTI-2 magic {magic!r}")
+        datatype = struct.unpack_from(f"{en}h", hdr, 12)[0]
+        dim = struct.unpack_from(f"{en}8q", hdr, 16)
+        pixdim = struct.unpack_from(f"{en}8d", hdr, 104)
+        vox_offset = int(struct.unpack_from(f"{en}q", hdr, 168)[0])
+        scl_slope, scl_inter = struct.unpack_from(f"{en}2d", hdr, 176)
+        sform_code = struct.unpack_from(f"{en}i", hdr, 348)[0]
+        srow = (np.array(struct.unpack_from(f"{en}12d", hdr, 400),
+                         np.float64).reshape(3, 4)
+                if sform_code > 0 else None)
+        detached = magic[:3] == b"ni2"
+    ndim = int(dim[0])
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: invalid NIfTI dim[0]={ndim}")
     shape = tuple(int(d) for d in dim[1:1 + ndim])
-    datatype = struct.unpack_from("<h", hdr, 70)[0]
-    pixdim = struct.unpack_from("<8f", hdr, 76)
-    vox_offset = int(struct.unpack_from("<f", hdr, 108)[0])
-    scl_slope = struct.unpack_from("<f", hdr, 112)[0]
-    scl_inter = struct.unpack_from("<f", hdr, 116)[0]
-    np_dtype = _NIFTI_DTYPES.get(datatype)
+    if any(d <= 0 for d in shape):
+        raise ValueError(f"{path}: invalid NIfTI shape {shape}")
+    return dict(shape=shape, datatype=int(datatype),
+                pixdim=np.asarray(pixdim, np.float64),
+                vox_offset=vox_offset, scl_slope=float(scl_slope),
+                scl_inter=float(scl_inter), endian=en, version=version,
+                srow=srow, detached=detached)
+
+
+def _zooms_from_header(h: dict) -> np.ndarray:
+    """Voxel sizes: sform-aware when present (column norms of the affine —
+    robust to rotated/flipped orientation matrices), else |pixdim[1:4]|."""
+    if h["srow"] is not None:
+        z = np.linalg.norm(h["srow"][:, :3], axis=0)
+        if np.all(np.isfinite(z)) and np.all(z > 0):
+            return z.astype(np.float32)
+    return np.abs(h["pixdim"][1:4]).astype(np.float32)
+
+
+def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """NIfTI loader: .nii/.nii.gz (NIfTI-1 AND NIfTI-2, either endianness)
+    plus detached .hdr/.img pairs; honors scl_slope/scl_inter and
+    qform/sform-aware voxel sizes.  Returns (data in file (x,y,z,...) order
+    as float32, zooms[3])."""
+    base = path
+    if path.endswith((".img", ".img.gz")):
+        base = path[: path.rindex(".img")] + ".hdr"
+    raw = _read_file(base)
+    h = _parse_nifti_header(raw, base)
+    if h["detached"] or base.endswith(".hdr"):
+        img_path = base[:-4] + ".img"
+        try:
+            raw = _read_file(img_path)
+        except FileNotFoundError:
+            raw = _read_file(img_path + ".gz")
+        offset = max(0, h["vox_offset"])
+    else:
+        offset = h["vox_offset"] if h["vox_offset"] > 0 else (
+            352 if h["version"] == 1 else 544)
+    np_dtype = _NIFTI_DTYPES.get(h["datatype"])
     if np_dtype is None:
-        raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
-    count = int(np.prod(shape))
-    data = np.frombuffer(raw, dtype=np_dtype, count=count, offset=vox_offset)
-    data = data.reshape(shape, order="F").astype(np.float32)
-    if scl_slope not in (0.0, 1.0):
-        data = data * scl_slope + scl_inter
-    zooms = np.asarray(pixdim[1:4], np.float32)
-    return data, zooms
+        raise ValueError(
+            f"{path}: unsupported NIfTI datatype {h['datatype']}")
+    dt = np.dtype(np_dtype).newbyteorder(h["endian"])
+    count = int(np.prod(h["shape"]))
+    if offset + count * dt.itemsize > len(raw):
+        raise ValueError(f"{path}: file too short for shape {h['shape']}")
+    data = np.frombuffer(raw, dtype=dt, count=count, offset=offset)
+    data = data.reshape(h["shape"], order="F").astype(np.float32)
+    slope, inter = h["scl_slope"], h["scl_inter"]
+    if np.isfinite(slope) and slope not in (0.0, 1.0) and np.isfinite(inter):
+        data = data * np.float32(slope) + np.float32(inter)
+    return data, _zooms_from_header(h)
 
 
 def load_volume(path: str, key: str | None = None) -> np.ndarray:
@@ -69,7 +151,7 @@ def load_volume_with_spacing(path: str, key: str | None = None):
     """Like load_volume but also returns voxel spacing [3] (slice,row,col)
     when the format records it (NIfTI pixdim; npz key 'spacing'), else
     unit spacing — feeds the ASD metrics' mm-correct distances (E2)."""
-    if path.endswith((".nii", ".nii.gz")):
+    if path.endswith((".nii", ".nii.gz", ".hdr", ".img", ".img.gz")):
         data, zooms = load_nifti(path)
         # benchmark slicing is along the last file axis -> move to front
         vol = np.ascontiguousarray(np.moveaxis(data, -1, 0)).astype(np.float32)

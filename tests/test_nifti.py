@@ -1,0 +1,152 @@
+"""NIfTI loader hardening tests (SURVEY D1/D4; VERDICT r1 item 8): NIfTI-1
+and NIfTI-2, both endiannesses, detached .hdr/.img pairs, sform-aware
+spacing, scl rescaling, and header fuzzing."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from mcmda_tpu.data import volumes
+
+
+def _hdr1(shape, dtype_code=16, endian="<", pixdim=(1.0, 1.0, 2.0),
+          magic=b"n+1\x00", vox_offset=352.0, scl=(1.0, 0.0), srow=None):
+    hdr = bytearray(348)
+    struct.pack_into(f"{endian}i", hdr, 0, 348)
+    dims = (len(shape),) + shape + (1,) * (7 - len(shape))
+    struct.pack_into(f"{endian}8h", hdr, 40, *dims)
+    struct.pack_into(f"{endian}h", hdr, 70, dtype_code)
+    struct.pack_into(f"{endian}8f", hdr, 76, 1.0, *pixdim, 0, 0, 0, 0)
+    struct.pack_into(f"{endian}f", hdr, 108, vox_offset)
+    struct.pack_into(f"{endian}2f", hdr, 112, *scl)
+    if srow is not None:
+        struct.pack_into(f"{endian}h", hdr, 254, 1)  # sform_code
+        struct.pack_into(f"{endian}12f", hdr, 280, *np.ravel(srow))
+    hdr[344:348] = magic
+    return bytes(hdr)
+
+
+def _hdr2(shape, dtype_code=16, endian="<", pixdim=(1.0, 1.0, 2.0),
+          magic=b"n+2\x00\r\n\x1a\n", vox_offset=544):
+    hdr = bytearray(540)
+    struct.pack_into(f"{endian}i", hdr, 0, 540)
+    hdr[4:12] = magic
+    struct.pack_into(f"{endian}h", hdr, 12, dtype_code)
+    dims = (len(shape),) + shape + (1,) * (7 - len(shape))
+    struct.pack_into(f"{endian}8q", hdr, 16, *dims)
+    struct.pack_into(f"{endian}8d", hdr, 104, 1.0, *pixdim, 0, 0, 0, 0)
+    struct.pack_into(f"{endian}q", hdr, 168, vox_offset)
+    struct.pack_into(f"{endian}2d", hdr, 176, 1.0, 0.0)
+    return bytes(hdr)
+
+
+DATA = np.random.default_rng(0).normal(size=(6, 5, 4)).astype(np.float32)
+
+
+def _write(path, payload):
+    if str(path).endswith(".gz"):
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
+def _body(data, endian="<", dtype=np.float32):
+    return np.asarray(data, dtype).astype(
+        np.dtype(dtype).newbyteorder(endian)).tobytes(order="F")
+
+
+def test_nifti1_big_endian(tmp_path):
+    p = str(tmp_path / "be.nii")
+    _write(p, _hdr1(DATA.shape, endian=">") + b"\0" * 4 + _body(DATA, ">"))
+    loaded, zooms = volumes.load_nifti(p)
+    np.testing.assert_allclose(loaded, DATA, atol=1e-6)
+    np.testing.assert_allclose(zooms, [1.0, 1.0, 2.0])
+
+
+def test_nifti2_both_endians(tmp_path):
+    for en, name in (("<", "le2.nii.gz"), (">", "be2.nii")):
+        p = str(tmp_path / name)
+        _write(p, _hdr2(DATA.shape, endian=en) + b"\0" * 4 + _body(DATA, en))
+        loaded, zooms = volumes.load_nifti(p)
+        np.testing.assert_allclose(loaded, DATA, atol=1e-6)
+        np.testing.assert_allclose(zooms, [1.0, 1.0, 2.0])
+
+
+def test_detached_hdr_img_pair(tmp_path):
+    _write(str(tmp_path / "v.hdr"),
+           _hdr1(DATA.shape, magic=b"ni1\x00", vox_offset=0.0))
+    _write(str(tmp_path / "v.img"), _body(DATA))
+    for entry in ("v.hdr", "v.img"):
+        loaded, _ = volumes.load_nifti(str(tmp_path / entry))
+        np.testing.assert_allclose(loaded, DATA, atol=1e-6)
+
+
+def test_sform_spacing_overrides_pixdim(tmp_path):
+    # rotated sform: spacing = column norms, NOT the raw pixdim
+    srow = np.array([[0.0, -1.5, 0.0, 10.0],
+                     [0.8, 0.0, 0.0, -5.0],
+                     [0.0, 0.0, 3.0, 0.0]])
+    p = str(tmp_path / "s.nii")
+    _write(p, _hdr1(DATA.shape, pixdim=(9.0, 9.0, 9.0), srow=srow)
+           + b"\0" * 4 + _body(DATA))
+    _, zooms = volumes.load_nifti(p)
+    np.testing.assert_allclose(zooms, [0.8, 1.5, 3.0], atol=1e-6)
+
+
+def test_scl_rescale_int16(tmp_path):
+    ints = (DATA * 100).astype(np.int16)
+    p = str(tmp_path / "i.nii")
+    _write(p, _hdr1(DATA.shape, dtype_code=4, scl=(0.01, 2.0))
+           + b"\0" * 4 + _body(ints, dtype=np.int16))
+    loaded, _ = volumes.load_nifti(p)
+    np.testing.assert_allclose(loaded, ints.astype(np.float32) * 0.01 + 2.0,
+                               atol=1e-5)
+
+
+def test_negative_pixdim_abs(tmp_path):
+    p = str(tmp_path / "n.nii")
+    _write(p, _hdr1(DATA.shape, pixdim=(-1.0, 1.0, -2.0))
+           + b"\0" * 4 + _body(DATA))
+    _, zooms = volumes.load_nifti(p)
+    np.testing.assert_allclose(zooms, [1.0, 1.0, 2.0])
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda h: b"junk" + h[4:],                       # bad sizeof_hdr
+    lambda h: h[:344] + b"XXXX",                     # bad magic
+    lambda h: h[:40] + struct.pack("<8h", 0, *[1] * 7) + h[56:],  # dim0=0
+    lambda h: h[:70] + struct.pack("<h", 31337) + h[72:],  # unknown dtype
+    lambda h: h[:200],                               # truncated header
+])
+def test_fuzzed_headers_raise_value_error(tmp_path, mutate):
+    p = str(tmp_path / "f.nii")
+    _write(p, mutate(_hdr1(DATA.shape)) + b"\0" * 4 + _body(DATA))
+    with pytest.raises(ValueError):
+        volumes.load_nifti(p)
+
+
+def test_truncated_body_raises(tmp_path):
+    p = str(tmp_path / "t.nii")
+    _write(p, _hdr1(DATA.shape) + b"\0" * 4 + _body(DATA)[:-16])
+    with pytest.raises(ValueError, match="too short"):
+        volumes.load_nifti(p)
+
+
+def test_random_byte_fuzz_never_segfaults(tmp_path):
+    """Random mutations either load or raise ValueError — never crash."""
+    rng = np.random.default_rng(42)
+    good = bytearray(_hdr1(DATA.shape) + b"\0" * 4 + _body(DATA))
+    for trial in range(50):
+        buf = bytearray(good)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(0, 348)] = rng.integers(0, 256)
+        p = str(tmp_path / f"z{trial}.nii")
+        _write(p, bytes(buf))
+        try:
+            volumes.load_nifti(p)
+        except ValueError:
+            pass
