@@ -101,6 +101,9 @@ class DataConfig:
     rotate_degrees: float = 15.0
     zoom_range: Tuple[float, float] = (0.9, 1.1)
     shift_pixels: float = 10.0
+    # warp implementation: "xla" (packed single-gather, runs everywhere) or
+    # "pallas" (gather-free MXU kernel, TPU-only; kernels/warp.py)
+    warp: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

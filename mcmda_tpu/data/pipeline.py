@@ -71,15 +71,11 @@ def _warp(img_hw_c, ys, xs, order: int = 1):
     return jnp.where(valid, v, 0.0)
 
 
-def augment_pair(rng, image, label_onehot, cfg: DataConfig):
-    """Jointly augment one (image [H,W,C], one-hot label [H,W,K]) pair (D3)."""
+def _draw_params(rng, cfg: DataConfig):
+    """Per-sample augmentation parameter draws — shared by the XLA and
+    Pallas warp paths so a given key produces the SAME transform on both."""
     k_flip, k_rot, k_zoom, k_sy, k_sx = jax.random.split(rng, 5)
-    h, w = image.shape[0], image.shape[1]
-
     flip = jax.random.bernoulli(k_flip) & cfg.flip
-    image = jnp.where(flip, image[:, ::-1, :], image)
-    label_onehot = jnp.where(flip, label_onehot[:, ::-1, :], label_onehot)
-
     theta = jax.random.uniform(k_rot, (), minval=-1.0, maxval=1.0) * \
         (cfg.rotate_degrees * jnp.pi / 180.0)
     zoom = jax.random.uniform(k_zoom, (), minval=cfg.zoom_range[0],
@@ -88,6 +84,17 @@ def augment_pair(rng, image, label_onehot, cfg: DataConfig):
                             maxval=cfg.shift_pixels)
     sx = jax.random.uniform(k_sx, (), minval=-cfg.shift_pixels,
                             maxval=cfg.shift_pixels)
+    return flip, theta, zoom, sy, sx
+
+
+def augment_pair(rng, image, label_onehot, cfg: DataConfig):
+    """Jointly augment one (image [H,W,C], one-hot label [H,W,K]) pair (D3)."""
+    h, w = image.shape[0], image.shape[1]
+    flip, theta, zoom, sy, sx = _draw_params(rng, cfg)
+
+    image = jnp.where(flip, image[:, ::-1, :], image)
+    label_onehot = jnp.where(flip, label_onehot[:, ::-1, :], label_onehot)
+
     ys, xs = _affine_grid(h, w, theta, zoom, sy, sx)
     # joint warp: image + one-hot label channels in ONE gather pass
     ci = image.shape[-1]
@@ -100,8 +107,32 @@ def augment_pair(rng, image, label_onehot, cfg: DataConfig):
 
 
 def augment_batch(rng, images, labels_onehot, cfg: DataConfig):
-    """vmap'd joint augmentation; fuses into the train step under jit."""
+    """Batched joint augmentation; fuses into the train step under jit.
+
+    cfg.warp selects the implementation: "xla" = vmap'd packed single-gather
+    warp; "pallas" = the gather-free MXU warp kernel (kernels/warp.py) —
+    same transforms for a given key (shared parameter draws), results equal
+    to bf16-payload tolerance.
+    """
     keys = jax.random.split(rng, images.shape[0])
+    if cfg.warp == "pallas":
+        from mcmda_tpu.kernels import warp as warp_mod
+        h, w = images.shape[1], images.shape[2]
+        flip, theta, zoom, sy, sx = jax.vmap(
+            lambda k: _draw_params(k, cfg))(keys)
+        coefs = jax.vmap(lambda t, z, a, b, f: warp_mod.affine_coefs(
+            t, z, a, b, f, h, w))(theta, zoom, sy, sx, flip)
+        ci = images.shape[-1]
+        band = warp_mod.band_bound(h, w, 8,
+                                   cfg.rotate_degrees * np.pi / 180.0,
+                                   cfg.zoom_range[0])
+        both = warp_mod.warp_affine(
+            jnp.concatenate([images, labels_onehot], -1), coefs,
+            max_band=band)
+        image, label = both[..., :ci], both[..., ci:]
+        label = label / jnp.maximum(jnp.sum(label, axis=-1, keepdims=True),
+                                    1e-6)
+        return image, label
     return jax.vmap(lambda k, i, l: augment_pair(k, i, l, cfg))(
         keys, images, labels_onehot)
 

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel for the augmentation affine warp (SURVEY D3).
+
+The joint flip/rotate/zoom/shift augmentation is the adapt step's dominant
+non-MXU cost: the XLA path (pipeline._warp) is one giant flattened gather
+(65536 indices x packed channels) — latency-bound on TPU at ~15.6 ms per
+batch-8 256^2 call (docs/roadmap.md "Performance").  This kernel reformulates
+the SAME 4-corner bilinear warp as MXU matmuls, with zero gathers:
+
+For an affine inverse map (ys, xs) = A.(y, x) + t (rotation/zoom/shift are
+all linear, and a horizontal flip folds into the x coefficients):
+
+    out[r, j] = sum_y sum_x  tri(y - ys(r,j)) . tri(x - xs(r,j)) . in[y, x]
+
+where tri(d) = max(0, 1 - |d|) reproduces bilinear corner weights exactly
+(the two taps floor/floor+1 get weights 1-f and f).  Per output row r:
+
+    B_r[y, j] = sum_x in[y, x] . Wx_r[x, j]      # ONE [H,W]@[W,W] MXU matmul
+    out_r[j]  = sum_y Wy_r[y, j] . B_r[y, j]     # VPU multiply + sublane sum
+
+with Wx_r[x, j] = tri(x - xs(r, j)), Wy_r[y, j] = tri(y - ys(r, j)) built
+in-VMEM from iota arithmetic (never materialized in HBM).  Out-of-range
+samples are zeroed by the same strict validity mask as the oracle, so the
+results match the XLA path to bf16-payload tolerance (weights and pixels
+ride the MXU in bf16; accumulation is f32).
+
+Layout is NCHW (W in lanes) throughout so every build/matmul/reduce/store is
+Mosaic-native; the NHWC<->NCHW transposes live outside in XLA where they fuse.
+
+Grid: (batch, H/RB).  Per step: RB output rows x C channels = RB.C matmuls
+[H,W]@[W,W] bf16 on a VMEM-resident input plane.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def affine_coefs(theta, zoom, shift_y, shift_x, flip, h: int, w: int):
+    """Coefficients of the INVERSE map used by pipeline._affine_grid:
+    ys = ay*y + by*x + cy ; xs = ax*y + bx*x + cx, with a horizontal flip
+    folded into the x row (sampling the flipped image at xs equals sampling
+    the original at w-1-xs; bilinear weights are symmetric, so this is
+    exact).  Returns [6] f32: (ay, by, cy, ax, bx, cx)."""
+    cy_c, cx_c = (h - 1) / 2.0, (w - 1) / 2.0
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    inv = 1.0 / zoom
+    ay, by = cos * inv, -sin * inv
+    c_y = -ay * cy_c - by * cx_c + cy_c - shift_y
+    ax, bx = sin * inv, cos * inv
+    c_x = -ax * cy_c - bx * cx_c + cx_c - shift_x
+    flip = flip.astype(jnp.float32)
+    sign = 1.0 - 2.0 * flip  # +1 normal, -1 flipped
+    ax, bx = ax * sign, bx * sign
+    c_x = c_x * sign + flip * (w - 1)
+    return jnp.stack([ay, by, c_y, ax, bx, c_x]).astype(jnp.float32)
+
+
+def _kernel(coef_ref, in_ref, out_ref, *, rb: int, h: int, w: int, c: int,
+            hb: int):
+    bi, i = pl.program_id(0), pl.program_id(1)
+    # whole [B, 6] coef table sits in SMEM (tiny); index by batch program id
+    ay, by, cy = coef_ref[bi, 0], coef_ref[bi, 1], coef_ref[bi, 2]
+    ax, bx, cx = coef_ref[bi, 3], coef_ref[bi, 4], coef_ref[bi, 5]
+
+    # tpu.iota only produces integers; cast to f32 afterwards
+    j_lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    y_sub = jax.lax.broadcasted_iota(jnp.int32, (hb, 1), 0).astype(jnp.float32)
+    x_sub = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
+
+    # y-band: the rows this output block can touch. ys is affine, so its
+    # extrema over the block are at the 4 (row, j) corners; hb is a static
+    # bound the CALLER guarantees (from its rotation/zoom ranges).  Start is
+    # floored to a multiple of 8 (sublane-aligned dynamic slice).
+    r0 = (i * rb).astype(jnp.float32)
+    r1 = r0 + (rb - 1)
+    corners = [ay * r + by * j + cy for r in (r0, r1) for j in (0.0, w - 1.0)]
+    y_min = jnp.minimum(jnp.minimum(corners[0], corners[1]),
+                        jnp.minimum(corners[2], corners[3])) - 1.0
+    start = pl.multiple_of(jnp.clip(y_min.astype(jnp.int32) & ~7, 0, h - hb),
+                           8)
+    band_f = start.astype(jnp.float32)
+
+    for r in range(rb):  # static unroll: RB output rows per grid step
+        row = (i * rb + r).astype(jnp.float32)
+        ys = ay * row + by * j_lane + cy                           # [1, W]
+        xs = ax * row + bx * j_lane + cx                           # [1, W]
+        # bilinear hat weights, built in-register (no HBM, no gather)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_sub + band_f - ys))  # [HB, W]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x_sub - xs))           # [W, W]
+        valid = ((ys >= 0.0) & (ys <= h - 1.0)
+                 & (xs >= 0.0) & (xs <= w - 1.0)).astype(jnp.float32)
+        wx16 = wx.astype(jnp.bfloat16)
+        for ch in range(c):  # static unroll over channels
+            b_yj = jax.lax.dot_general(                            # [HB, W]
+                in_ref[0, ch, pl.ds(start, hb)], wx16,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[0, ch, r] = (jnp.sum(wy * b_yj, axis=0,
+                                         keepdims=True) * valid)[0]
+
+
+def band_bound(h: int, w: int, rb: int, max_rotate_rad: float,
+               zoom_min: float) -> int:
+    """Static y-band size covering any ys span an RB-row output block can
+    have under the given rotation/zoom bounds (+1 tri support each side)."""
+    span = ((rb - 1) / zoom_min + abs(np.sin(max_rotate_rad)) * (w - 1)
+            / zoom_min + 4)
+    return min(h, int(-(-span // 8) * 8))
+
+
+def warp_affine_nchw(images_nchw, coefs, *, rb: int = 8,
+                     interpret: bool = False, max_band: int | None = None):
+    """images [B, C, H, W] (any float dtype; matmul payload is bf16),
+    coefs [B, 6] from ``affine_coefs`` -> warped [B, C, H, W] f32.
+
+    ``max_band``: static bound on the input-row span any RB-row output block
+    samples (use ``band_bound`` from the augmentation parameter ranges);
+    restricts each block's matmul to that band — the FLOP reduction is
+    h/max_band.  None = full height (always correct)."""
+    b, c, h, w = images_nchw.shape
+    assert h % rb == 0, (h, rb)
+    hb = h if max_band is None else min(h, max(8, max_band))
+    x16 = images_nchw.astype(jnp.bfloat16)
+    kern = functools.partial(_kernel, rb=rb, h=h, w=w, c=c, hb=hb)
+    flops = 2 * b * c * h * hb * w  # one [HB,W]@[W,W] matmul per (b, row, ch)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // rb),
+        in_specs=[
+            pl.BlockSpec((b, 6), lambda bi, ii: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, c, h, w), lambda bi, ii: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, rb, w), lambda bi, ii: (bi, 0, ii, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(x16.size + images_nchw.size) * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(coefs, x16)
+
+
+def warp_affine(images_nhwc, coefs, *, interpret: bool = False,
+                max_band: int | None = None):
+    """NHWC wrapper: transposes fuse into neighboring XLA ops."""
+    x = jnp.transpose(images_nhwc, (0, 3, 1, 2))
+    y = warp_affine_nchw(x, coefs, interpret=interpret, max_band=max_band)
+    return jnp.transpose(y, (0, 2, 3, 1)).astype(images_nhwc.dtype)
+
+
+def warp_affine_reference(images_nhwc, coefs):
+    """XLA oracle with the SAME coefficient convention (the pipeline's packed
+    single-gather warp, driven by explicit coefs instead of angles)."""
+    from mcmda_tpu.data.pipeline import _warp
+
+    def one(img, cf):
+        h, w = img.shape[0], img.shape[1]
+        yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        ys = cf[0] * yy + cf[1] * xx + cf[2]
+        xs = cf[3] * yy + cf[4] * xx + cf[5]
+        return _warp(img, ys, xs)
+
+    return jax.vmap(one)(images_nhwc, coefs)

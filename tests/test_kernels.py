@@ -110,3 +110,65 @@ def test_fused_eval_with_dam(tiny_config):
                                         dam_params=dam, plug_depth="rm2",
                                         use_pallas=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+# ------------------------------------------------------------ warp kernel
+def test_warp_affine_matches_oracle():
+    """Gather-free MXU warp == packed-gather oracle (same coefs), to bf16
+    payload tolerance, including flips and out-of-range zeroing."""
+    from mcmda_tpu.kernels import warp
+    B, H, W, C = 3, 32, 32, 4
+    imgs = _rand(0, (B, H, W, C))
+    theta = jnp.asarray([0.15, -0.1, 0.0])
+    zoom = jnp.asarray([0.9, 1.15, 1.0])
+    sy = jnp.asarray([2.0, -1.5, 0.0])
+    sx = jnp.asarray([-3.0, 0.5, 0.0])
+    flip = jnp.asarray([False, True, False])
+    coefs = jax.vmap(lambda t, z, a, b, f: warp.affine_coefs(
+        t, z, a, b, f, H, W))(theta, zoom, sy, sx, flip)
+    ref = warp.warp_affine_reference(imgs, coefs)
+    with pltpu.force_tpu_interpret_mode():
+        out = warp.warp_affine(imgs, coefs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
+    # identity coefs (sample 2) reproduce the input to payload tolerance
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(imgs[2]),
+                               atol=0.02)
+
+
+def test_augment_batch_pallas_matches_xla(tiny_config):
+    """cfg.warp='pallas' draws the SAME transforms as the XLA path (shared
+    parameter draws) and matches it end-to-end, labels included."""
+    import dataclasses
+    from mcmda_tpu.data import pipeline
+    cfg_x = tiny_config.data
+    cfg_p = dataclasses.replace(cfg_x, warp="pallas")
+    imgs = _rand(1, (4, 32, 32, 3))
+    labs = jax.nn.one_hot(
+        jax.random.randint(jax.random.key(2), (4, 32, 32), 0, 5), 5)
+    key = jax.random.key(3)
+    ix, lx = pipeline.augment_batch(key, imgs, labs, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        ip, lp = pipeline.augment_batch(key, imgs, labs, cfg_p)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(ix), atol=0.02)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx), atol=0.03)
+
+
+def test_warp_affine_banded_matches_oracle():
+    """y-banding (the FLOP reducer) must not change results when the caller's
+    band bound covers the configured rotation/zoom ranges."""
+    from mcmda_tpu.kernels import warp
+    B, H, W, C = 3, 64, 64, 4
+    imgs = _rand(4, (B, H, W, C))
+    theta = jnp.asarray([0.15, -0.26, 0.0])
+    zoom = jnp.asarray([0.9, 1.15, 0.9])
+    sy = jnp.asarray([4.0, -10.5, 0.0])
+    sx = jnp.asarray([-3.0, 10.5, 0.0])
+    flip = jnp.asarray([False, True, False])
+    coefs = jax.vmap(lambda t, z, a, b, f: warp.affine_coefs(
+        t, z, a, b, f, H, W))(theta, zoom, sy, sx, flip)
+    ref = warp.warp_affine_reference(imgs, coefs)
+    band = warp.band_bound(H, W, 8, 0.27, 0.9)
+    assert band < H  # the test must actually exercise the banded path
+    with pltpu.force_tpu_interpret_mode():
+        out = warp.warp_affine(imgs, coefs, max_band=band)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
