@@ -164,7 +164,7 @@ def cmd_train_source(args):
     def _val_fwd(img, params, bn_state):
         return _eval_raw(params, bn_state, img)
 
-    def val_cb(step_i, st):
+    def val_cb(step_i, st, _metrics=None):
         agg = report_mod.evaluate_volumes(
             _val_fwd, [val_vol], [val_lab], context=cfg.data.context_slices,
             batch_size=cfg.data.batch_size,
@@ -269,7 +269,7 @@ def cmd_adapt(args):
     # K1 handoff: restore the phase-1 source checkpoint into BOTH the frozen
     # source path and (via init_state) the DAM initialization
     src_state = source.init_state(jax.random.key(0), cfg)
-    src_state = checkpoint.restore(args.source_ckpt, src_state)
+    src_state = checkpoint.restore(_resolve_ckpt(args.source_ckpt), src_state)
     state = adapt.init_state(jax.random.key(cfg.run.seed + 2), cfg,
                              src_state.params, src_state.bn_state)
     state, start = loop.maybe_resume(args.out, state)
@@ -310,8 +310,18 @@ def cmd_adapt(args):
     snap_batch = tgt_ds.images[:4]
     snap_fwd = jax.jit(adapt.adapted_forward(cfg))
 
-    def snapshot_cb(step, st):
+    # unsupervised checkpoint selection (critic-equilibrium distance):
+    # adaptation quality peaks mid-run and collapses; the selected step is
+    # written to selection.json and its checkpoint is protected from pruning
+    selector = adapt.EquilibriumSelector(
+        warmup_step=cfg.adapt.pretrain_steps + cfg.adapt.steps // 5)
+
+    def snapshot_cb(step, st, metrics=None):
         from mcmda_tpu.evaluation import snapshots
+        if metrics and "d_acc" in metrics:
+            logger.log(step, {"equilibrium_dist":
+                              selector.update(step, metrics)})
+            selector.save(args.out)
         probs = snap_fwd(st, jnp_asarray(snap_batch))
         snapshots.save_snapshot(
             os.path.join(args.out, "snapshots", f"step_{step:08d}.png"),
@@ -344,8 +354,37 @@ def cmd_adapt(args):
                         ckpt_every=cfg.run.ckpt_every, ckpt_dir=args.out,
                         logger=logger, start_step=start,
                         callback=snapshot_cb if args.out else None,
-                        inner_steps=inner)
+                        inner_steps=inner,
+                        protect_steps=lambda: (
+                            {selector.best_step}
+                            if selector.best_step is not None else ()))
+    if selector.best_step is not None:
+        print(f"selected checkpoint (critic equilibrium): "
+              f"step {selector.best_step} "
+              f"(score {selector.best_score:.4f})")
     print(f"done; final checkpoint in {args.out}")
+
+
+def _resolve_ckpt(path: str) -> str:
+    """Accept a RUN DIRECTORY as --ckpt: resolve through selection.json
+    (the unsupervised critic-equilibrium pick) when present, else the
+    latest step.  Concrete step paths pass through unchanged."""
+    if not os.path.isdir(path) or \
+            os.path.basename(path.rstrip("/")).startswith("step_"):
+        return path
+    from mcmda_tpu.utils import checkpoint as ck
+    sel = os.path.join(path, "selection.json")
+    if os.path.exists(sel):
+        with open(sel) as f:
+            step = json.load(f)["best_step"]
+        cand = os.path.join(path, f"step_{step:08d}")
+        if os.path.isdir(cand) or os.path.exists(cand + ".npz"):
+            print(f"using selected checkpoint step {step} (selection.json)")
+            return cand
+    step = ck.latest_step(path)
+    if step is not None:
+        return os.path.join(path, f"step_{step:08d}")
+    return path
 
 
 def cmd_evaluate(args):
@@ -357,6 +396,7 @@ def cmd_evaluate(args):
     from mcmda_tpu.utils import checkpoint
 
     cfg = _load_config(args.config, args.set)
+    args.ckpt = _resolve_ckpt(args.ckpt)
     _, _, (test_vols, test_labs) = _get_data(args, cfg, args.direction)
     if args.source_only:
         state = source.init_state(jax.random.key(0), cfg)

@@ -213,6 +213,46 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
     return step
 
 
+class EquilibriumSelector:
+    """Unsupervised adaptation-checkpoint selection.
+
+    Adaptation quality peaks mid-run and then collapses (docs/design.md
+    section 5b, measured); the reference picked a fixed iteration.  Signal
+    used here: the critic-equilibrium distance |d_acc - 0.5|, EMA-smoothed.
+    After discriminator pretraining the critic separates source from
+    unadapted target features (d_acc high); as the DAM adapts, d_acc falls
+    toward chance, and when the DAM drifts/collapses the critic separates
+    easily again.  The checkpoint with the smallest smoothed distance is the
+    selected one — no target labels involved.
+    """
+
+    def __init__(self, ema: float = 0.7, warmup_step: int = 0):
+        self.ema = ema
+        self.warmup_step = warmup_step
+        self.value = None
+        self.best_step = None
+        self.best_score = float("inf")
+
+    def update(self, step: int, metrics) -> float:
+        d = abs(float(metrics.get("d_acc", 0.5)) - 0.5)
+        self.value = d if self.value is None else \
+            self.ema * self.value + (1.0 - self.ema) * d
+        if step >= self.warmup_step and self.value < self.best_score:
+            self.best_score = self.value
+            self.best_step = step
+        return self.value
+
+    def save(self, out_dir: str) -> None:
+        import json
+        import os
+        if self.best_step is None:
+            return
+        with open(os.path.join(out_dir, "selection.json"), "w") as f:
+            json.dump({"signal": "critic_equilibrium",
+                       "best_step": int(self.best_step),
+                       "best_score": self.best_score}, f)
+
+
 def adapted_forward(cfg: ExperimentConfig):
     """E1 inference path of the ADAPTED net: target DAM + frozen HLM,
     eval-mode BN from the target-path running stats."""

@@ -63,13 +63,16 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
         seed: int = 0, log_every: int = 50, ckpt_every: int = 0,
         ckpt_dir: str | None = None, logger: mlog.MetricsLogger | None = None,
         start_step: int = 0, callback: Callable | None = None,
-        keep_checkpoints: int = 3, inner_steps: int = 1):
+        keep_checkpoints: int = 3, inner_steps: int = 1,
+        protect_steps: Callable | None = None):
     """Drive ``step_fn(state, batch, rng)`` for ``num_steps`` TRAIN steps.
 
     The rng handed to each dispatch derives from (seed, step) so a resumed
     run replays identical augmentation randomness from its restart point.
-    ``callback(step, state)`` fires at every checkpoint interval (qualitative
-    snapshot dumps, eval probes — the reference's periodic T2 side effects).
+    ``callback(step, state, metrics)`` fires at every checkpoint interval
+    (qualitative snapshot dumps, eval probes, checkpoint selection — the
+    reference's periodic T2 side effects); ``metrics`` is that step's metric
+    dict (host floats).
 
     ``inner_steps > 1``: ``step_fn`` must be a ``scanned_step`` advancing
     that many train steps per call; num_steps/start_step/log_every/
@@ -93,9 +96,13 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state,
                                     step=step + 1)
-                    checkpoint.prune(ckpt_dir, keep_checkpoints)
+                    checkpoint.prune(ckpt_dir, keep_checkpoints,
+                                     protect=(protect_steps()
+                                              if protect_steps else ()))
                 if callback is not None:
-                    callback(step + 1, state)
+                    cb_metrics = {kk: float(v) for kk, v in
+                                  jax.device_get(metrics).items()}
+                    callback(step + 1, state, cb_metrics)
             if guard.fired:
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state,

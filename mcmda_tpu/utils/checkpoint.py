@@ -93,8 +93,9 @@ def restore(path: str, like: Any) -> Any:
         [jax.numpy.asarray(flat[jax.tree_util.keystr(kp)]) for kp, _ in leaves])
 
 
-def prune(ckpt_dir: str, keep: int = 3) -> None:
-    """Delete all but the newest ``keep`` step_XXXXXXXX checkpoints."""
+def prune(ckpt_dir: str, keep: int = 3, protect=()) -> None:
+    """Delete all but the newest ``keep`` step_XXXXXXXX checkpoints.
+    Steps in ``protect`` (e.g. the unsupervised-selection best) survive."""
     import shutil
     if not os.path.isdir(ckpt_dir) or keep <= 0:
         return
@@ -105,6 +106,8 @@ def prune(ckpt_dir: str, keep: int = 3) -> None:
     steps = sorted({int(m.group(1)) for n in os.listdir(ckpt_dir)
                     if (m := re.match(r"step_(\d+)(\.npz$|$|\.orbax)", n))})
     for s in steps[:-keep]:
+        if s in protect:
+            continue
         path = os.path.join(ckpt_dir, f"step_{s:08d}")
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)

@@ -213,3 +213,45 @@ def test_kd_kg_ratio(tiny_config, adapt_setup):
     step = jax.jit(adapt.make_adapt_step(cfg2, augment=False))
     new_state, metrics = step(state, batch, jax.random.key(0))
     assert "d_loss" in metrics and "g_loss" in metrics
+
+
+def test_equilibrium_selector(tmp_path):
+    """Unsupervised checkpoint selection: picks the step whose smoothed
+    |d_acc - 0.5| is smallest after warmup, and persists selection.json."""
+    sel = adapt.EquilibriumSelector(ema=0.0, warmup_step=20)
+    # healthy equilibrium at step 40, collapse (d_acc -> 1) afterwards
+    trace = [(10, 0.55), (20, 0.95), (30, 0.7), (40, 0.52), (50, 0.9),
+             (60, 0.99)]
+    for step, acc in trace:
+        sel.update(step, {"d_acc": acc})
+    assert sel.best_step == 40
+    sel.save(str(tmp_path))
+    import json
+    with open(tmp_path / "selection.json") as f:
+        rec = json.load(f)
+    assert rec["best_step"] == 40 and rec["signal"] == "critic_equilibrium"
+
+
+def test_prune_protects_selected_step(tmp_path):
+    import jax as _jax
+    from mcmda_tpu.train import source as src_mod
+    from mcmda_tpu.utils import checkpoint as ck
+    st = src_mod.init_state(_jax.random.key(0), _tiny_for_ckpt())
+    for s in (5, 10, 15, 20):
+        ck.save(str(tmp_path), st, step=s)
+    ck.prune(str(tmp_path), keep=2, protect={5})
+    ck.wait_pending()
+    import os
+    steps = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
+    assert "step_00000005" in steps and "step_00000020" in steps
+    assert "step_00000010" not in steps
+
+
+def _tiny_for_ckpt():
+    from mcmda_tpu import config as cm
+    return cm.ExperimentConfig(
+        segmenter=cm.SegmenterConfig(stages=(
+            cm.StageSpec("stem", 8, 1, 1, 1), cm.StageSpec("rm1", 8, 2, 1, 1),
+            cm.StageSpec("rm2", 16, 2, 1, 1),
+            cm.StageSpec("rm3", 16, 1, 2, 1))),
+        data=cm.DataConfig(slice_size=32, batch_size=2))
