@@ -122,7 +122,12 @@ def cmd_train_source(args):
     print(f"source training: {len(ds)} slices from {len(src_vols)} volumes",
           flush=True)
     state = source.init_state(jax.random.key(cfg.run.seed), cfg)
-    state, start = loop.maybe_resume(args.out, state)
+    if args.from_ckpt:  # explicit resume point beats --out's implicit latest
+        from mcmda_tpu.utils import checkpoint as _ck
+        state = _ck.restore(_resolve_ckpt(args.from_ckpt), state)
+        start = int(state.step)
+    else:
+        state, start = loop.maybe_resume(args.out, state)
     # device-resident dataset + on-device sampling when it fits HBM (zero
     # per-step host transfer); sharded across replicas under single-process
     # DP; host sampler + global-batch assembly under multi-host
@@ -272,7 +277,11 @@ def cmd_adapt(args):
     src_state = checkpoint.restore(_resolve_ckpt(args.source_ckpt), src_state)
     state = adapt.init_state(jax.random.key(cfg.run.seed + 2), cfg,
                              src_state.params, src_state.bn_state)
-    state, start = loop.maybe_resume(args.out, state)
+    if args.from_ckpt:
+        state = checkpoint.restore(_resolve_ckpt(args.from_ckpt), state)
+        start = int(state.step)
+    else:
+        state, start = loop.maybe_resume(args.out, state)
 
     on_device = not _multihost_active() and \
         (src_ds.images.nbytes + tgt_ds.images.nbytes) < 1 << 30
@@ -461,12 +470,16 @@ def build_parser():
     sp = sub.add_parser("train-source", help="config 2: supervised source")
     common(sp)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--from-ckpt", default=None,
+                    help="explicit resume checkpoint (default: --out latest)")
     sp.set_defaults(fn=cmd_train_source)
 
     sp = sub.add_parser("adapt", help="configs 3+4: pretrain + adaptation")
     common(sp)
     sp.add_argument("--source-ckpt", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument("--from-ckpt", default=None,
+                    help="explicit resume checkpoint (default: --out latest)")
     sp.set_defaults(fn=cmd_adapt)
 
     sp = sub.add_parser("evaluate", help="configs 1+5: Dice/ASSD eval")

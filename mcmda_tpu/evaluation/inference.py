@@ -46,9 +46,31 @@ def _scanned_argmax(forward, shape_key):
     return run
 
 
+_shard_cache = {}
+
+
+def _sharded_forward(forward, mesh, axis: str, n_args: int):
+    """shard_map the per-batch forward over the mesh's batch axis, cached per
+    (forward, mesh, arg-count) so repeated volume evals reuse one traced fn
+    (the mesh analogue of dp.data_parallel_forward, but composed INSIDE the
+    single-dispatch scan so a sharded eval still costs one dispatch/volume)."""
+    from jax.sharding import PartitionSpec as P
+    key = (forward, mesh, axis, n_args)
+    f = _shard_cache.get(key)
+    if f is None:
+        f = jax.shard_map(forward, mesh=mesh,
+                          in_specs=(P(axis),) + (P(),) * n_args,
+                          out_specs=P(axis), check_vma=False)
+        while len(_shard_cache) >= _SCAN_CACHE_MAX:
+            del _shard_cache[next(iter(_shard_cache))]
+        _shard_cache[key] = f
+    return f
+
+
 def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
                    batch_size: int = 8, single_dispatch: bool = True,
-                   fwd_args: tuple = ()) -> np.ndarray:
+                   fwd_args: tuple = (), mesh=None,
+                   axis: str = "data") -> np.ndarray:
     """Run ``forward(images[B,H,W,ctx], *fwd_args) -> probs[B,H,W,K]`` over
     every slice of [S,H,W] ``volume``; returns the stitched label volume
     [S,H,W] int32.
@@ -62,7 +84,14 @@ def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
     closed over: callers evaluating a stream of checkpoints keep ONE stable
     ``forward`` and compile once, instead of recompiling (and leaking device
     buffers through the cache) per checkpoint.
+
+    ``mesh``: shard each per-batch forward over the mesh's ``axis`` (batch
+    sharded, fwd_args replicated) — mesh eval keeps the same
+    one-scanned-dispatch-per-volume treatment; ``batch_size`` must divide by
+    the mesh size.
     """
+    if mesh is not None:
+        forward = _sharded_forward(forward, mesh, axis, len(fwd_args))
     stacked = vol_io.stack_context(volume, context)  # [S,H,W,ctx]
     s = stacked.shape[0]
     pad = (-s) % batch_size

@@ -159,8 +159,16 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                                    new_opt, state.opt_d_state)
         new_critic = jax.tree.map(lambda p, u: p + u, state.critic_params,
                                   updates)
+        # observability: linear-MMD distance between source and target tap
+        # statistics (channel means) — a label-free adaptation-progress
+        # signal complementing d_acc (per-shard under DP; monitoring only)
+        fd = jnp.mean(jnp.asarray([
+            jnp.mean(jnp.square(
+                jnp.mean(f_src[t].astype(jnp.float32), axis=(0, 1, 2))
+                - jnp.mean(f_tgt[t].astype(jnp.float32), axis=(0, 1, 2))))
+            for t in cr_cfg.taps]))
         return state.replace(critic_params=new_critic, opt_d_state=new_opt), \
-            {"d_loss": dl, "d_acc": acc}
+            {"d_loss": dl, "d_acc": acc, "feat_div": fd}
 
     def g_step(state: AdaptState, x_tgt):
         def loss(dam_params):

@@ -176,3 +176,29 @@ def test_make_mesh_falls_back_to_cpu(eight_devices):
     import pytest
     with pytest.raises(ValueError, match="make_mesh"):
         mesh_mod.make_mesh(4096)
+
+
+def test_predict_volume_sharded_matches_single(tiny_config, eight_devices):
+    """Mesh-sharded volume eval (one scanned dispatch, batch sharded over the
+    mesh) == unsharded, and the sharded forward is cached across volumes."""
+    from mcmda_tpu.evaluation import inference
+    cfg = tiny_config
+    m = mesh_mod.make_mesh(8)
+    params, bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    raw = source.make_eval_forward(cfg)
+
+    def fwd(img, p, b):
+        return raw(p, b, img)
+
+    vol = np.asarray(jax.random.normal(jax.random.key(1), (12, 32, 32)),
+                     np.float32)
+    ref = inference.predict_volume(fwd, vol, context=3, batch_size=8,
+                                   fwd_args=(params, bn))
+    n0 = len(inference._shard_cache)
+    out = inference.predict_volume(fwd, vol, context=3, batch_size=8,
+                                   fwd_args=(params, bn), mesh=m)
+    out2 = inference.predict_volume(fwd, vol, context=3, batch_size=8,
+                                    fwd_args=(params, bn), mesh=m)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(out2, ref)
+    assert len(inference._shard_cache) == n0 + 1  # one cached wrapper
