@@ -62,7 +62,12 @@ def save(path: str, tree: Any, step: int | None = None,
         if jax.process_index() != 0:
             return path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez(path + ".npz", **_flatten(tree))
+        # atomic publish: peers discover checkpoints by filename (poll or
+        # latest_step) and must never see a half-written npz
+        tmp = path + ".npz.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **_flatten(tree))
+        os.replace(tmp, path + ".npz")
         return path
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if _HAVE_ORBAX:

@@ -82,16 +82,30 @@ def main():
     loss_ref = float(rmetrics["loss"])
     assert abs(loss_dp - loss_ref) < 1e-3 * max(1.0, abs(loss_ref))
 
-    # artifact gating: both processes call save; only process 0 may write
-    ckpt_dir = os.path.join(out_dir, "ckpt")
+    # artifact gating: both processes call save; only process 0 may write.
+    # Probe the gate race-free with a per-process scratch dir first (a shared
+    # dir can't distinguish "I wrote" from "the peer already wrote").
+    probe_dir = os.path.join(out_dir, f"probe_{pid}")
     host_state = multihost.fetch_replicated(gstate)
+    checkpoint.save(probe_dir, host_state, step=3, block=True)
+    probe = os.path.join(probe_dir, "step_00000003")
+    wrote = os.path.exists(probe) or os.path.exists(probe + ".npz")
+    assert wrote == multihost.is_primary(), (wrote, pid)
+    # the real shared-dir save all processes will restore from
+    ckpt_dir = os.path.join(out_dir, "ckpt")
     checkpoint.save(ckpt_dir, host_state, step=3, block=True)
     base = os.path.join(ckpt_dir, "step_00000003")
-    wrote = os.path.exists(base) or os.path.exists(base + ".npz")
-    assert wrote == multihost.is_primary(), (wrote, pid)
-    # and the single-writer checkpoint restores on EVERY process
-    from jax.experimental import multihost_utils
-    multihost_utils.sync_global_devices("ckpt_written")  # wait for process 0
+    # and the single-writer checkpoint restores on EVERY process.  Wait for
+    # process 0 via a filesystem poll, NOT a collective: by this point the
+    # processes have skewed by their independent single-device compiles, and
+    # gloo context creation for a fresh cross-process collective has a
+    # hardcoded 30 s key-value timeout that loses to compile skew under load
+    # (the one observed flake in this test).
+    import time
+    deadline = time.time() + 300
+    while not (os.path.exists(base) or os.path.exists(base + ".npz")):
+        assert time.time() < deadline, "process 0 never wrote the checkpoint"
+        time.sleep(0.2)
     restored = checkpoint.restore(base, host_state)
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(host_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
