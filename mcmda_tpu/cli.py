@@ -421,13 +421,20 @@ def cmd_evaluate(args):
         state = adapt.init_state(jax.random.key(1), cfg, src_state.params,
                                  src_state.bn_state)
         state = checkpoint.restore(args.ckpt, state)
+        use_avg = (args.weights == "avg" or
+                   (args.weights == "auto" and cfg.adapt.dam_ema > 0))
+        if use_avg:
+            print("evaluating EMA-averaged DAM weights "
+                  f"(adapt.dam_ema={cfg.adapt.dam_ema})")
         if cfg.run.use_pallas:
+            dam = state.avg_dam if use_avg else state.dam_params
+            bn = state.avg_bn if use_avg else state.tgt_bn
             fwd = jax.jit(lambda img: segmenter.apply_fused_eval(
-                state.src_params, state.tgt_bn, img, cfg.segmenter,
-                dam_params=state.dam_params,
-                plug_depth=cfg.adapt.plug_depth)[1])
+                state.src_params, bn, img, cfg.segmenter,
+                dam_params=dam, plug_depth=cfg.adapt.plug_depth)[1])
         else:
-            fwd = jax.jit(lambda img: adapt.adapted_forward(cfg)(state, img))
+            fwd = jax.jit(lambda img: adapt.adapted_forward(
+                cfg, use_avg=use_avg)(state, img))
     agg = report.evaluate_volumes(fwd, test_vols, test_labs,
                                   context=cfg.data.context_slices,
                                   batch_size=cfg.data.batch_size,
@@ -487,6 +494,10 @@ def build_parser():
     sp.add_argument("--ckpt", required=True)
     sp.add_argument("--source-only", action="store_true")
     sp.add_argument("--json-out", default=None)
+    sp.add_argument("--weights", default="auto",
+                    choices=["auto", "live", "avg"],
+                    help="adapted eval weights: EMA-averaged DAM (avg), the "
+                         "live DAM (live), or avg iff adapt.dam_ema>0 (auto)")
     sp.set_defaults(fn=cmd_evaluate)
     return p
 

@@ -161,6 +161,12 @@ class AdaptConfig:
     # "batch"  — frozen params but batch statistics from target activations
     # "frozen" — use the source running statistics everywhere
     hlm_bn: str = "batch"
+    # Per-step EMA decay for the averaged DAM weights (0 disables).  The
+    # minimax orbits a good solution (adjacent-checkpoint Dice swings of
+    # +/-0.3 measured on the benchmark); evaluating the EMA of the DAM +
+    # target-BN is both better and far more seed-stable than any single
+    # checkpoint (rebuild knob; see scripts/seed_sweep.py artifacts).
+    dam_ema: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,8 @@ class AdaptState:
     opt_g_state: Any
     opt_d_state: Any
     step: jnp.ndarray
+    avg_dam: Any = None  # EMA of dam_params (cfg.adapt.dam_ema; eval-time
+    avg_bn: Any = None   # weight averaging over the minimax orbit) + its BN
 
 
 def make_txs(cfg: ExperimentConfig):
@@ -76,6 +78,8 @@ def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
         opt_g_state=tx_g.init(dam),
         opt_d_state=tx_d.init(critic_params),
         step=jnp.zeros((), jnp.int32),
+        avg_dam=jax.tree.map(jnp.array, dam),
+        avg_bn=jax.tree.map(jnp.array, src_bn),
     )
 
 
@@ -216,6 +220,14 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
             for _i in range(a.k_g):
                 state, m = g_step(state, x_t)
                 metrics.update(m)
+            if a.dam_ema > 0.0:
+                # weight averaging over the minimax orbit (see AdaptConfig)
+                dec = a.dam_ema
+                state = state.replace(
+                    avg_dam=jax.tree.map(lambda e, n: dec * e + (1 - dec) * n,
+                                         state.avg_dam, state.dam_params),
+                    avg_bn=jax.tree.map(lambda e, n: dec * e + (1 - dec) * n,
+                                        state.avg_bn, state.tgt_bn))
         return state.replace(step=state.step + 1), metrics
 
     return step
@@ -261,12 +273,15 @@ class EquilibriumSelector:
                        "best_score": self.best_score}, f)
 
 
-def adapted_forward(cfg: ExperimentConfig):
+def adapted_forward(cfg: ExperimentConfig, use_avg: bool = False):
     """E1 inference path of the ADAPTED net: target DAM + frozen HLM,
-    eval-mode BN from the target-path running stats."""
+    eval-mode BN from the target-path running stats.  ``use_avg`` evaluates
+    the EMA-averaged DAM/BN (cfg.adapt.dam_ema) instead of the live one."""
     def fwd(state: AdaptState, image):
+        dam = state.avg_dam if use_avg else state.dam_params
+        bn = state.avg_bn if use_avg else state.tgt_bn
         _, probs, _, _ = segmenter.apply(
-            state.src_params, state.tgt_bn, image, cfg.segmenter, train=False,
-            dam_params=state.dam_params, plug_depth=cfg.adapt.plug_depth)
+            state.src_params, bn, image, cfg.segmenter, train=False,
+            dam_params=dam, plug_depth=cfg.adapt.plug_depth)
         return probs
     return fwd

@@ -147,6 +147,23 @@ def main():
     a_step = jax.jit(loop.scanned_step(adapt_mod.make_adapt_step(
         cfg, sample_from_device=True), ev), donate_argnums=(0,))
 
+    # weight-averaged evaluation states: the minimax oscillates around a good
+    # solution (adjacent-checkpoint Dice swings of +/-0.3 measured); an EMA of
+    # the DAM + target-BN over the orbit is both better and far more stable
+    # than any single checkpoint.  Variants: block-level EMA decay x optional
+    # critic-equilibrium gate (fold a snapshot in only while the smoothed
+    # |d_acc-0.5| is below tau — the late collapse shows up as the critic
+    # winning decisively, measured r2).  All bias-corrected (raw EMA starts at
+    # zero and is divided by the accumulated weight at eval).
+    VARIANTS = {f"ema{d}" + (f"g{t}" if t else ""): (d, t)
+                for d in (0.9, 0.95) for t in (None, 0.25, 0.2, 0.15)}
+
+    @jax.jit
+    def ema_update(ema_state, state, decay):
+        new = (state.dam_params, state.tgt_bn)
+        return jax.tree.map(lambda e, n: decay * e + (1 - decay) * n,
+                            ema_state, new)
+
     rows = []
     for seed in range(args.seeds):
         t0 = time.time()
@@ -156,6 +173,10 @@ def main():
                                      s_state.params, s_state.bn_state)
         selector = adapt_mod.EquilibriumSelector(
             warmup_step=cfg.adapt.steps // 5)
+        # raw EMA trees start at ZERO (bias-corrected at eval); w tracks the
+        # accumulated weight.  No aliasing with the donated train state.
+        zeros = jax.tree.map(jnp.zeros_like, (state.dam_params, state.tgt_bn))
+        emas = {name: [zeros, 0.0] for name in VARIANTS}
         curve, best_oracle, sel_snapshot = [], (0, -1.0), None
         root = jax.random.key(1000 + seed)
         for blk in range(n_blocks):
@@ -163,11 +184,25 @@ def main():
                                     jax.random.fold_in(root, blk))
             step_i = (blk + 1) * ev
             dmean = float(jnp.mean(dice_of(state)[1:]))
-            eq = selector.update(step_i, {"d_acc":
-                                          float(metrics["d_acc"])})
-            curve.append({"step": step_i, "dice": round(dmean, 4),
-                          "d_acc": round(float(metrics["d_acc"]), 4),
-                          "eq": round(eq, 4)})
+            rec = {"step": step_i, "dice": round(dmean, 4),
+                   "d_acc": round(float(metrics["d_acc"]), 4)}
+            rec["eq"] = round(selector.update(step_i, rec), 4)
+            for name, (dec, tau) in VARIANTS.items():
+                if tau is None or rec["eq"] < tau:
+                    emas[name][0] = ema_update(emas[name][0], state, dec)
+                    emas[name][1] = dec * emas[name][1] + (1 - dec)
+                w = emas[name][1]
+                if w > 0:
+                    es = state.replace(
+                        dam_params=jax.tree.map(lambda a: a / w,
+                                                emas[name][0][0]),
+                        tgt_bn=jax.tree.map(lambda a: a / w,
+                                            emas[name][0][1]))
+                    rec[f"dice_{name}"] = round(
+                        float(jnp.mean(dice_of(es)[1:])), 4)
+                else:
+                    rec[f"dice_{name}"] = rec["dice"]
+            curve.append(rec)
             if dmean > best_oracle[1]:
                 best_oracle = (step_i, dmean)
             if selector.best_step == step_i:
@@ -179,11 +214,15 @@ def main():
                cfg.adapt.steps,
                "oracle": best_oracle[1], "oracle_step": best_oracle[0],
                "curve": curve}
+        for name in VARIANTS:
+            row[name] = curve[-1][f"dice_{name}"]
+            row[f"{name}_best"] = max(c[f"dice_{name}"] for c in curve)
         rows.append(row)
         print(f"[sweep] seed {seed}: final={final:.3f} "
               f"selected={row['selected']:.3f}@{row['selected_step']} "
               f"oracle={row['oracle']:.3f}@{row['oracle_step']} "
-              f"({time.time() - t0:.0f}s)", flush=True)
+              + " ".join(f"{n}={row[n]:.3f}" for n in VARIANTS)
+              + f" ({time.time() - t0:.0f}s)", flush=True)
 
     def agg(key):
         v = np.asarray([r[key] for r in rows], np.float64)
@@ -196,6 +235,8 @@ def main():
            "no_adapt": round(no_adapt, 4),
            "final": agg("final"), "selected": agg("selected"),
            "oracle": agg("oracle"),
+           **{n: agg(n) for n in VARIANTS},
+           **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
            "per_seed": [{k: v for k, v in r.items() if k != "curve"}
                         for r in rows],
            "curves": {r["seed"]: r["curve"] for r in rows}}

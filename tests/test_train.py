@@ -255,3 +255,36 @@ def _tiny_for_ckpt():
             cm.StageSpec("rm2", 16, 2, 1, 1),
             cm.StageSpec("rm3", 16, 1, 2, 1))),
         data=cm.DataConfig(slice_size=32, batch_size=2))
+
+
+def test_dam_ema_weight_averaging(tiny_config):
+    """adapt.dam_ema > 0: avg_dam tracks dam_params by EMA and the averaged
+    forward differs from the live one; dam_ema == 0 leaves avg_dam at init."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config, adapt=dataclasses.replace(
+        tiny_config.adapt, dam_ema=0.5))
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    batch = {"src_image": _batch(cfg, 0, "mri")["image"],
+             "tgt_image": _batch(cfg, 0, "ct")["image"]}
+    step = jax.jit(adapt.make_adapt_step(cfg, augment=False))
+    s1, _ = step(state, batch, jax.random.key(2))
+    # EMA with decay .5 after one step == midpoint of init and updated dam
+    for e, a, b in zip(jax.tree.leaves(s1.avg_dam),
+                       jax.tree.leaves(state.dam_params),
+                       jax.tree.leaves(s1.dam_params)):
+        np.testing.assert_allclose(np.asarray(e),
+                                   0.5 * np.asarray(a) + 0.5 * np.asarray(b),
+                                   atol=1e-6)
+    p_live = jax.jit(adapt.adapted_forward(cfg))(s1, batch["tgt_image"])
+    p_avg = jax.jit(adapt.adapted_forward(cfg, use_avg=True))(
+        s1, batch["tgt_image"])
+    assert float(jnp.abs(p_live - p_avg).max()) > 0
+
+    cfg0 = tiny_config  # dam_ema defaults to 0
+    state0 = adapt.init_state(jax.random.key(1), cfg0, src_params, src_bn)
+    s01, _ = jax.jit(adapt.make_adapt_step(cfg0, augment=False))(
+        state0, batch, jax.random.key(2))
+    for e, a in zip(jax.tree.leaves(s01.avg_dam),
+                    jax.tree.leaves(state0.avg_dam)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(a))
