@@ -427,8 +427,7 @@ def cmd_evaluate(args):
             print("evaluating EMA-averaged DAM weights "
                   f"(adapt.dam_ema={cfg.adapt.dam_ema})")
         if cfg.run.use_pallas:
-            dam = state.avg_dam if use_avg else state.dam_params
-            bn = state.avg_bn if use_avg else state.tgt_bn
+            dam, bn = adapt.eval_weights(state, use_avg)
             fwd = jax.jit(lambda img: segmenter.apply_fused_eval(
                 state.src_params, bn, img, cfg.segmenter,
                 dam_params=dam, plug_depth=cfg.adapt.plug_depth)[1])

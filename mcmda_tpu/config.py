@@ -163,10 +163,19 @@ class AdaptConfig:
     hlm_bn: str = "batch"
     # Per-step EMA decay for the averaged DAM weights (0 disables).  The
     # minimax orbits a good solution (adjacent-checkpoint Dice swings of
-    # +/-0.3 measured on the benchmark); evaluating the EMA of the DAM +
-    # target-BN is both better and far more seed-stable than any single
-    # checkpoint (rebuild knob; see scripts/seed_sweep.py artifacts).
+    # +/-0.3 measured on the benchmark); evaluating a weight average of the
+    # DAM + target-BN is both better and far more seed-stable than any single
+    # checkpoint (rebuild knob; see scripts/seed_sweep.py artifacts).  The
+    # average is bias-corrected (raw EMA from zero, divided by accumulated
+    # weight at eval) so long windows are usable.
     dam_ema: float = 0.0
+    # Equilibrium gate for the weight average (0 disables): fold a step's
+    # weights in only while the smoothed |d_acc - 0.5| is below this — the
+    # late-run collapse shows up as the critic winning decisively, and gating
+    # keeps those degraded weights out of the average (measured r2 sweeps).
+    ema_gate: float = 0.0
+    # smoothing decay for the gate's |d_acc - 0.5| tracker
+    ema_gate_smooth: float = 0.9986
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,8 +41,14 @@ class AdaptState:
     opt_g_state: Any
     opt_d_state: Any
     step: jnp.ndarray
-    avg_dam: Any = None  # EMA of dam_params (cfg.adapt.dam_ema; eval-time
-    avg_bn: Any = None   # weight averaging over the minimax orbit) + its BN
+    # Weight averaging over the minimax orbit (cfg.adapt.dam_ema): RAW
+    # (bias-uncorrected) EMA trees starting at zero, the accumulated EMA
+    # weight (divide by it at eval — ``eval_weights``), and the smoothed
+    # critic-equilibrium distance driving the fold-in gate.
+    avg_dam: Any = None
+    avg_bn: Any = None
+    ema_w: Any = None      # scalar in [0, 1); 0 = nothing folded in yet
+    eq_smooth: Any = None  # smoothed |d_acc - 0.5|
 
 
 def make_txs(cfg: ExperimentConfig):
@@ -78,8 +84,12 @@ def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
         opt_g_state=tx_g.init(dam),
         opt_d_state=tx_d.init(critic_params),
         step=jnp.zeros((), jnp.int32),
-        avg_dam=jax.tree.map(jnp.array, dam),
-        avg_bn=jax.tree.map(jnp.array, src_bn),
+        avg_dam=jax.tree.map(jnp.zeros_like, dam),
+        avg_bn=jax.tree.map(jnp.zeros_like, src_bn),
+        ema_w=jnp.zeros((), jnp.float32),
+        # neutral prior: the gate stays closed until the minimax actually
+        # nears equilibrium, excluding the poor early-adaptation weights
+        eq_smooth=jnp.full((), 0.25, jnp.float32),
     )
 
 
@@ -221,13 +231,29 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                 state, m = g_step(state, x_t)
                 metrics.update(m)
             if a.dam_ema > 0.0:
-                # weight averaging over the minimax orbit (see AdaptConfig)
-                dec = a.dam_ema
+                # weight averaging over the minimax orbit (see AdaptConfig):
+                # bias-corrected EMA, folded in only while the smoothed
+                # critic-equilibrium distance is under the gate (the late
+                # collapse shows up as the critic winning decisively)
+                dec = jnp.float32(a.dam_ema)
+                q = jnp.float32(a.ema_gate_smooth)
+                eq = jnp.abs(metrics["d_acc"].astype(jnp.float32) - 0.5)
+                eq_s = q * state.eq_smooth + (1 - q) * eq
+                gate = (eq_s < a.ema_gate).astype(jnp.float32) \
+                    if a.ema_gate > 0 else jnp.float32(1.0)
+
+                def fold(e, n):
+                    new = dec * e + (1 - dec) * n.astype(e.dtype)
+                    return gate.astype(e.dtype) * new \
+                        + (1 - gate.astype(e.dtype)) * e
+
                 state = state.replace(
-                    avg_dam=jax.tree.map(lambda e, n: dec * e + (1 - dec) * n,
-                                         state.avg_dam, state.dam_params),
-                    avg_bn=jax.tree.map(lambda e, n: dec * e + (1 - dec) * n,
-                                        state.avg_bn, state.tgt_bn))
+                    avg_dam=jax.tree.map(fold, state.avg_dam,
+                                         state.dam_params),
+                    avg_bn=jax.tree.map(fold, state.avg_bn, state.tgt_bn),
+                    ema_w=gate * (dec * state.ema_w + (1 - dec))
+                    + (1 - gate) * state.ema_w,
+                    eq_smooth=eq_s)
         return state.replace(step=state.step + 1), metrics
 
     return step
@@ -273,13 +299,31 @@ class EquilibriumSelector:
                        "best_score": self.best_score}, f)
 
 
+def eval_weights(state: AdaptState, use_avg: bool = False):
+    """(dam_params, bn) to evaluate with: the live DAM, or the bias-corrected
+    weight average (``avg_* / ema_w``).  Falls back to the live weights while
+    nothing has been folded in yet (``ema_w == 0`` — gate never opened)."""
+    if not use_avg:
+        return state.dam_params, state.tgt_bn
+    w = state.ema_w
+    nz = (w > 0).astype(jnp.float32)
+    inv = nz / jnp.maximum(w, jnp.float32(1e-12))
+
+    def debias(avg, live):
+        return avg * inv.astype(avg.dtype) \
+            + (1 - nz).astype(live.dtype) * live
+
+    return (jax.tree.map(debias, state.avg_dam, state.dam_params),
+            jax.tree.map(debias, state.avg_bn, state.tgt_bn))
+
+
 def adapted_forward(cfg: ExperimentConfig, use_avg: bool = False):
     """E1 inference path of the ADAPTED net: target DAM + frozen HLM,
     eval-mode BN from the target-path running stats.  ``use_avg`` evaluates
-    the EMA-averaged DAM/BN (cfg.adapt.dam_ema) instead of the live one."""
+    the equilibrium-gated weight average (cfg.adapt.dam_ema) instead of the
+    live DAM."""
     def fwd(state: AdaptState, image):
-        dam = state.avg_dam if use_avg else state.dam_params
-        bn = state.avg_bn if use_avg else state.tgt_bn
+        dam, bn = eval_weights(state, use_avg)
         _, probs, _, _ = segmenter.apply(
             state.src_params, bn, image, cfg.segmenter, train=False,
             dam_params=dam, plug_depth=cfg.adapt.plug_depth)

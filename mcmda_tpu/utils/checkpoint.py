@@ -93,9 +93,20 @@ def restore(path: str, like: Any) -> Any:
         return jax.tree.map(jax.numpy.asarray, out)
     flat = np.load(path + ".npz" if not path.endswith(".npz") else path)
     leaves, _ = jax.tree_util.tree_flatten_with_path(like)
+
+    def pick(kp, fallback):
+        # forward compat: state fields added after a checkpoint was written
+        # (e.g. the r2 weight-average trees) keep their init values
+        key = jax.tree_util.keystr(kp)
+        if key in flat:
+            return jax.numpy.asarray(flat[key])
+        import warnings
+        warnings.warn(f"checkpoint {path} lacks {key}; keeping init value")
+        return jax.numpy.asarray(fallback)
+
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like),
-        [jax.numpy.asarray(flat[jax.tree_util.keystr(kp)]) for kp, _ in leaves])
+        [pick(kp, v) for kp, v in leaves])
 
 
 def prune(ckpt_dir: str, keep: int = 3, protect=()) -> None:

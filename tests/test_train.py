@@ -258,8 +258,9 @@ def _tiny_for_ckpt():
 
 
 def test_dam_ema_weight_averaging(tiny_config):
-    """adapt.dam_ema > 0: avg_dam tracks dam_params by EMA and the averaged
-    forward differs from the live one; dam_ema == 0 leaves avg_dam at init."""
+    """adapt.dam_ema > 0: bias-corrected weight average.  After one folded
+    step the debiased average EQUALS that step's weights; after two it is the
+    correctly-weighted mix; dam_ema == 0 leaves the average untouched."""
     import dataclasses
     cfg = dataclasses.replace(tiny_config, adapt=dataclasses.replace(
         tiny_config.adapt, dam_ema=0.5))
@@ -269,22 +270,56 @@ def test_dam_ema_weight_averaging(tiny_config):
              "tgt_image": _batch(cfg, 0, "ct")["image"]}
     step = jax.jit(adapt.make_adapt_step(cfg, augment=False))
     s1, _ = step(state, batch, jax.random.key(2))
-    # EMA with decay .5 after one step == midpoint of init and updated dam
-    for e, a, b in zip(jax.tree.leaves(s1.avg_dam),
-                       jax.tree.leaves(state.dam_params),
-                       jax.tree.leaves(s1.dam_params)):
-        np.testing.assert_allclose(np.asarray(e),
-                                   0.5 * np.asarray(a) + 0.5 * np.asarray(b),
-                                   atol=1e-6)
-    p_live = jax.jit(adapt.adapted_forward(cfg))(s1, batch["tgt_image"])
+    # debiased avg after ONE fold == exactly the step-1 weights (no
+    # contamination from the init weights — the bias-correction property)
+    dam_avg, _bn_avg = adapt.eval_weights(s1, use_avg=True)
+    for e, b in zip(jax.tree.leaves(dam_avg), jax.tree.leaves(s1.dam_params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(b), atol=1e-6)
+    s2, _ = step(s1, batch, jax.random.key(3))
+    # after two folds with decay d: (d*w1 + w2) / (d + 1)
+    dam_avg2, _ = adapt.eval_weights(s2, use_avg=True)
+    for e, w1, w2 in zip(jax.tree.leaves(dam_avg2),
+                         jax.tree.leaves(s1.dam_params),
+                         jax.tree.leaves(s2.dam_params)):
+        np.testing.assert_allclose(
+            np.asarray(e),
+            (0.5 * np.asarray(w1) + np.asarray(w2)) / 1.5, atol=1e-5)
+    p_live = jax.jit(adapt.adapted_forward(cfg))(s2, batch["tgt_image"])
     p_avg = jax.jit(adapt.adapted_forward(cfg, use_avg=True))(
-        s1, batch["tgt_image"])
+        s2, batch["tgt_image"])
     assert float(jnp.abs(p_live - p_avg).max()) > 0
 
     cfg0 = tiny_config  # dam_ema defaults to 0
     state0 = adapt.init_state(jax.random.key(1), cfg0, src_params, src_bn)
     s01, _ = jax.jit(adapt.make_adapt_step(cfg0, augment=False))(
         state0, batch, jax.random.key(2))
-    for e, a in zip(jax.tree.leaves(s01.avg_dam),
-                    jax.tree.leaves(state0.avg_dam)):
-        np.testing.assert_allclose(np.asarray(e), np.asarray(a))
+    assert float(s01.ema_w) == 0.0
+    # use_avg with an empty average falls back to the live weights
+    dam0, bn0 = adapt.eval_weights(s01, use_avg=True)
+    for a, b in zip(jax.tree.leaves(dam0), jax.tree.leaves(s01.dam_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_dam_ema_equilibrium_gate(tiny_config):
+    """ema_gate > 0: nothing folds in while the smoothed |d_acc-0.5| sits
+    above the gate (ema_w stays 0); with an impossible-to-fail gate the
+    average accumulates."""
+    import dataclasses
+    # eq_smooth starts at 0.25; with decay 0.9 it cannot drop below
+    # 0.9^3 * 0.25 ~= 0.18 within 3 steps, so a 0.1 gate stays closed
+    base = dataclasses.replace(tiny_config.adapt, dam_ema=0.5,
+                               ema_gate_smooth=0.9)
+    src_params, src_bn = segmenter.init(jax.random.key(0),
+                                        tiny_config.segmenter)
+    batch = {"src_image": _batch(tiny_config, 0, "mri")["image"],
+             "tgt_image": _batch(tiny_config, 0, "ct")["image"]}
+    closed = dataclasses.replace(tiny_config, adapt=dataclasses.replace(
+        base, ema_gate=0.1))
+    opened = dataclasses.replace(tiny_config, adapt=dataclasses.replace(
+        base, ema_gate=10.0))   # always true
+    for cfg, expect_fold in ((closed, False), (opened, True)):
+        state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+        step = jax.jit(adapt.make_adapt_step(cfg, augment=False))
+        for i in range(3):
+            state, _ = step(state, batch, jax.random.key(10 + i))
+        assert (float(state.ema_w) > 0) == expect_fold, cfg.adapt.ema_gate
