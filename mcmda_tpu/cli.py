@@ -96,6 +96,11 @@ def _multihost_active() -> bool:
     return jax.process_count() > 1
 
 
+def _is_primary() -> bool:
+    import jax
+    return jax.process_index() == 0
+
+
 def _maybe_init_multihost(args) -> bool:
     """Join a multi-process world when requested (TPU pods auto-detect; the
     CPU tier passes coordinator/num-processes/process-id explicitly)."""
@@ -130,8 +135,17 @@ def cmd_train_source(args):
         state, start = loop.maybe_resume(args.out, state)
     # device-resident dataset + on-device sampling when it fits HBM (zero
     # per-step host transfer); sharded across replicas under single-process
-    # DP; host sampler + global-batch assembly under multi-host
-    on_device = not _multihost_active() and ds.images.nbytes < 1 << 30
+    # DP and across hosts' devices under multi-host (per-host input
+    # sharding); host sampler + global-batch assembly otherwise
+    if _multihost_active():
+        from mcmda_tpu.parallel import multihost
+        ds_local = multihost.shard_dataset(ds, jax.device_count())
+    else:
+        ds_local = ds
+    on_device = ds_local.images.nbytes < 1 << 30
+    print(f"feed path: {'device-resident' if on_device else 'host-sampler'}"
+          f"{' (per-host sharded)' if _multihost_active() else ''}",
+          flush=True)
     inner = 1
     if on_device:
         import itertools
@@ -140,8 +154,9 @@ def cmd_train_source(args):
                             cfg.run.ckpt_every)
         step_fn, device_data = _device_resident_dp(
             cfg, source.make_train_step, args, inner,
-            lambda shd: pipeline.to_device_arrays(ds, cfg.data.num_classes,
-                                                  sharding=shd))
+            lambda shd: pipeline.to_device_arrays(
+                ds_local if shd is not None and _multihost_active() else ds,
+                cfg.data.num_classes, sharding=shd))
         feed = itertools.repeat(device_data)
     else:
         step_fn, global_batch, to_global = _wrap_dp(cfg,
@@ -236,9 +251,32 @@ def _device_resident_dp(cfg, make_step, args, inner, data_builder,
                         **mk_kwargs):
     """Device-resident dataset + scanned on-device-sampling step; the dataset
     shards across replicas under --dp (each shard samples locally — the
-    single-process form of per-host input sharding)."""
+    single-process form of per-host input sharding).
+
+    Multi-host: the mesh spans every process's devices, each host
+    materializes only ITS rows of the dataset (``data_builder`` receives the
+    global batch sharding and is expected to pre-shard with
+    ``multihost.shard_dataset``), and each device samples from its local
+    block inside the shard_map'd step — per-host input sharding with zero
+    per-step host transfer."""
     import jax
     from mcmda_tpu.train import loop
+    if _multihost_active():
+        from mcmda_tpu.parallel import dp, mesh as mesh_mod, multihost
+        mesh = multihost.global_mesh()
+        data = data_builder(mesh_mod.batch_sharding(mesh))
+        inner_step = dp.data_parallel_step(
+            loop.scanned_step(
+                make_step(cfg, axis_name=cfg.parallel.data_axis,
+                          sample_from_device=True, **mk_kwargs), inner),
+            mesh, donate=False)
+
+        def mh_step(state, batch, rng):
+            state = multihost.ensure_replicated(state, mesh)
+            rng = multihost.replicate(rng, mesh)
+            return inner_step(state, batch, rng)
+
+        return mh_step, data
     if args.dp and args.dp > 1:
         from mcmda_tpu.parallel import dp, mesh as mesh_mod
         mesh = mesh_mod.make_mesh(args.dp)
@@ -283,12 +321,18 @@ def cmd_adapt(args):
     else:
         state, start = loop.maybe_resume(args.out, state)
 
-    on_device = not _multihost_active() and \
-        (src_ds.images.nbytes + tgt_ds.images.nbytes) < 1 << 30
+    if _multihost_active():
+        from mcmda_tpu.parallel import multihost
+        src_ds = multihost.shard_dataset(src_ds, jax.device_count())
+        tgt_ds = multihost.shard_dataset(tgt_ds, jax.device_count())
+    on_device = (src_ds.images.nbytes + tgt_ds.images.nbytes) < 1 << 30
     if on_device:
         import itertools
         shd = None
-        if args.dp and args.dp > 1:
+        if _multihost_active():
+            from mcmda_tpu.parallel import mesh as mesh_mod, multihost
+            shd = mesh_mod.batch_sharding(multihost.global_mesh())
+        elif args.dp and args.dp > 1:
             from mcmda_tpu.parallel import mesh as mesh_mod
             shd = mesh_mod.batch_sharding(mesh_mod.make_mesh(args.dp))
         device_data = {"src": pipeline.to_device_arrays(src_ds, sharding=shd),
@@ -328,9 +372,14 @@ def cmd_adapt(args):
     def snapshot_cb(step, st, metrics=None):
         from mcmda_tpu.evaluation import snapshots
         if metrics and "d_acc" in metrics:
+            # selector state advances on every process (deterministic from
+            # the replicated metrics); artifact writes gate to process 0
             logger.log(step, {"equilibrium_dist":
                               selector.update(step, metrics)})
-            selector.save(args.out)
+            if not _multihost_active() or _is_primary():
+                selector.save(args.out)
+        if _multihost_active() and not _is_primary():
+            return
         probs = snap_fwd(st, jnp_asarray(snap_batch))
         snapshots.save_snapshot(
             os.path.join(args.out, "snapshots", f"step_{step:08d}.png"),

@@ -155,12 +155,23 @@ def to_device_arrays(ds, num_classes: int | None = None, sharding=None):
     time on remote-attached chips.)  Labels ship as int8 and one-hot on
     device.  Under data parallelism, pass a P("data")-sharding to split the
     dataset across replicas; each shard samples locally.
+
+    Multi-host: when the sharding spans a multi-process mesh, ``ds`` must
+    hold ONLY this process's rows (see ``multihost.shard_dataset`` — per-host
+    input sharding) and the global array assembles from each process's local
+    data without any cross-host transfer.
     """
     import jax
 
-    out = {"images": jax.device_put(ds.images, sharding)}
+    if sharding is not None and jax.process_count() > 1:
+        def put(a):
+            return jax.make_array_from_process_local_data(sharding, a)
+    else:
+        def put(a):
+            return jax.device_put(a, sharding)
+    out = {"images": put(ds.images)}
     if ds.labels is not None and num_classes:
-        out["labels"] = jax.device_put(ds.labels.astype(np.int8), sharding)
+        out["labels"] = put(ds.labels.astype(np.int8))
     return out
 
 

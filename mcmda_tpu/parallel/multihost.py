@@ -73,6 +73,20 @@ def host_shard_range(n: int) -> tuple[int, int]:
     return lo, lo + per + (1 if p < extra else 0)
 
 
+def shard_dataset(ds, n_total_devices: int):
+    """Per-host input sharding of a deterministic-order SliceDataset: trim to
+    a multiple of the GLOBAL device count (so every device gets an equal
+    block under a P("data") sharding), then keep only this process's
+    contiguous range.  Every host must pass the identical dataset."""
+    import dataclasses
+    n = (len(ds) // n_total_devices) * n_total_devices
+    lo, hi = host_shard_range(n)
+    return dataclasses.replace(
+        ds, images=ds.images[lo:hi],
+        labels=None if ds.labels is None else ds.labels[lo:hi],
+        volume_ids=ds.volume_ids[lo:hi], slice_ids=ds.slice_ids[lo:hi])
+
+
 def global_batch(batch, mesh: Mesh, axis: str = "data"):
     """Assemble a global batch-sharded jax.Array pytree from each process's
     LOCAL batch arrays (host-local shard in, global array out).  The local

@@ -80,6 +80,9 @@ def test_cli_train_source_multihost(tmp_path):
     outs = [p.communicate(timeout=540)[0] for p in procs]
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"CLI worker failed:\n{o[-3000:]}"
+        # the small synthetic set must ride the per-host-sharded
+        # device-resident path (each host feeds only its dataset shard)
+        assert "feed path: device-resident (per-host sharded)" in o, o[-2000:]
     # final checkpoint written exactly once (npz single-writer path)
     import glob
     ckpts = glob.glob(os.path.join(out, "step_*"))

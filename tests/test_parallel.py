@@ -202,3 +202,23 @@ def test_predict_volume_sharded_matches_single(tiny_config, eight_devices):
     np.testing.assert_array_equal(out, ref)
     np.testing.assert_array_equal(out2, ref)
     assert len(inference._shard_cache) == n0 + 1  # one cached wrapper
+
+
+def test_shard_dataset_partitions(monkeypatch):
+    """multihost.shard_dataset: trims to a device-count multiple and the
+    per-process ranges partition the trimmed dataset disjointly."""
+    from mcmda_tpu.parallel import multihost
+    vols, labs = synthetic.make_dataset(0, "mri", 2, depth=8, size=16)
+    ds = volumes.volumes_to_slices(vols, labs)
+    n_dev, n_proc = 8, 2
+    got = []
+    for pid in range(n_proc):
+        monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
+        monkeypatch.setattr(jax, "process_count", lambda: n_proc)
+        sub = multihost.shard_dataset(ds, n_dev)
+        assert len(sub) % (n_dev // n_proc) == 0
+        got.append(sub)
+    total = sum(len(s) for s in got)
+    assert total == (len(ds) // n_dev) * n_dev
+    rec = np.concatenate([s.images for s in got], axis=0)
+    np.testing.assert_array_equal(rec, ds.images[:total])
