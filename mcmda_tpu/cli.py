@@ -309,6 +309,13 @@ def cmd_adapt(args):
                                    drop_empty=True)
     tgt_ds = vio.volumes_to_slices(tgt_train,
                                    context=cfg.data.context_slices)
+    # unsupervised-selection inputs, fixed BEFORE any per-host sharding so
+    # every process scores the identical probe: up to 64 target slices spread
+    # evenly + the source-label class-fraction prior
+    probe_idx = np.linspace(0, len(tgt_ds) - 1,
+                            min(64, len(tgt_ds))).astype(int)
+    probe_images = tgt_ds.images[probe_idx]
+    ref_fracs = adapt.label_fractions(src_labs, cfg.data.num_classes)
     # K1 handoff: restore the phase-1 source checkpoint into BOTH the frozen
     # source path and (via init_state) the DAM initialization
     src_state = source.init_state(jax.random.key(0), cfg)
@@ -363,21 +370,30 @@ def cmd_adapt(args):
     snap_batch = tgt_ds.images[:4]
     snap_fwd = jax.jit(adapt.adapted_forward(cfg))
 
-    # unsupervised checkpoint selection (critic-equilibrium distance):
-    # adaptation quality peaks mid-run and collapses; the selected step is
-    # written to selection.json and its checkpoint is protected from pruning
-    selector = adapt.EquilibriumSelector(
-        warmup_step=cfg.adapt.pretrain_steps + cfg.adapt.steps // 5)
+    # unsupervised checkpoint selection: adaptation quality peaks mid-run
+    # and collapses; the selected step is written to selection.json and its
+    # checkpoint is protected from pruning.  Primary signal per
+    # cfg.adapt.select_signal (class-ratio prior measured near-oracle —
+    # docs/design.md section 5c); the other signal is still logged.
+    warmup = cfg.adapt.pretrain_steps + cfg.adapt.steps // 5
+    eq_selector = adapt.EquilibriumSelector(warmup_step=warmup)
+    cr_selector = adapt.ClassRatioSelector(ref_fracs, warmup_step=warmup)
+    selector = cr_selector if cfg.adapt.select_signal == "class_ratio" \
+        else eq_selector
+    ratio_probe = adapt.make_class_ratio_probe(cfg, probe_images)
 
     def snapshot_cb(step, st, metrics=None):
         from mcmda_tpu.evaluation import snapshots
+        scalars = {}
         if metrics and "d_acc" in metrics:
-            # selector state advances on every process (deterministic from
-            # the replicated metrics); artifact writes gate to process 0
-            logger.log(step, {"equilibrium_dist":
-                              selector.update(step, metrics)})
-            if not _multihost_active() or _is_primary():
-                selector.save(args.out)
+            scalars["equilibrium_dist"] = eq_selector.update(step, metrics)
+        # selector state advances identically on every process (replicated
+        # state, fixed probe); artifact writes gate to process 0
+        scalars["class_ratio_dist"] = cr_selector.update(
+            step, np.asarray(ratio_probe(st)))
+        logger.log(step, scalars)
+        if not _multihost_active() or _is_primary():
+            selector.save(args.out)
         if _multihost_active() and not _is_primary():
             return
         probs = snap_fwd(st, jnp_asarray(snap_batch))

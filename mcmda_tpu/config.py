@@ -176,6 +176,11 @@ class AdaptConfig:
     ema_gate: float = 0.0
     # smoothing decay for the gate's |d_acc - 0.5| tracker
     ema_gate_smooth: float = 0.9986
+    # Unsupervised checkpoint-selection signal (train/adapt.py selectors):
+    # "class_ratio"  — L1 distance of predicted target class fractions to the
+    #                  source label marginals (measured best: near-oracle)
+    # "equilibrium"  — smoothed critic-equilibrium distance |d_acc - 0.5|
+    select_signal: str = "class_ratio"
 
 
 @dataclasses.dataclass(frozen=True)

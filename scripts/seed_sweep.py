@@ -33,19 +33,25 @@ import numpy as np
 
 def device_dice(fwd_args_state, vol_stacks, true_onehot_sums, true_labels,
                 fwd, num_classes):
-    """Per-structure Dice fully on device: scanned forward -> argmax ->
-    one-hot confusion sums; ONE small readback."""
+    """Per-structure Dice + unsupervised signals fully on device: scanned
+    forward -> argmax -> one-hot confusion sums, predicted class-voxel
+    counts, and mean prediction entropy; ONE small readback."""
     def run(stacks, state):
-        def body(_, xb):
-            return None, jnp.argmax(fwd(state, xb), -1).astype(jnp.int32)
-        _, preds = jax.lax.scan(body, None, stacks)
+        def body(ent_sum, xb):
+            probs = fwd(state, xb)
+            p = jnp.clip(probs.astype(jnp.float32), 1e-8, 1.0)
+            ent = -jnp.sum(p * jnp.log(p), axis=-1)
+            return ent_sum + jnp.sum(ent), \
+                jnp.argmax(probs, -1).astype(jnp.int32)
+        ent_total, preds = jax.lax.scan(body, jnp.float32(0.0), stacks)
         pred_oh = jax.nn.one_hot(preds.reshape(-1), num_classes,
                                  dtype=jnp.float32)
         true_oh = jax.nn.one_hot(true_labels.reshape(-1), num_classes,
                                  dtype=jnp.float32)
         inter = jnp.sum(pred_oh * true_oh, axis=0)
         psum = jnp.sum(pred_oh, axis=0)
-        return inter, psum
+        mean_ent = ent_total / pred_oh.shape[0]
+        return inter, psum, mean_ent
     return run(vol_stacks, fwd_args_state)
 
 
@@ -126,11 +132,23 @@ def main():
     a_fwd = adapt_mod.adapted_forward(cfg)
 
     @jax.jit
-    def dice_of(state):
-        inter, psum = device_dice(state, vol_stacks, true_sums, true_labels,
-                                  a_fwd, nc)
+    def probe_of(state):
+        """(dice[C], pred class fractions[C], mean entropy) on the eval
+        volume — dice needs labels (oracle); fractions/entropy do not."""
+        inter, psum, ment = device_dice(state, vol_stacks, true_sums,
+                                        true_labels, a_fwd, nc)
         d = 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
-        return d  # [num_classes]; classes 1..4 are the structures
+        return d, psum / jnp.sum(psum), ment
+
+    def dice_of(state):
+        return probe_of(state)[0]  # [C]; classes 1..4 are the structures
+
+    # unsupervised reference: class-voxel fractions of the SOURCE labels
+    # (a label-marginal prior from the labeled domain — no target labels)
+    src_fracs = np.bincount(
+        np.concatenate([l.reshape(-1) for l in src_labs]).astype(np.int64),
+        minlength=nc).astype(np.float64)
+    src_fracs /= src_fracs.sum()
 
     # source-only lower bound (through the un-adapted state)
     base_state = adapt_mod.init_state(jax.random.key(1), cfg,
@@ -173,20 +191,29 @@ def main():
                                      s_state.params, s_state.bn_state)
         selector = adapt_mod.EquilibriumSelector(
             warmup_step=cfg.adapt.steps // 5)
+        cr_sel = adapt_mod.ClassRatioSelector(
+            src_fracs, warmup_step=cfg.adapt.steps // 5)
         # raw EMA trees start at ZERO (bias-corrected at eval); w tracks the
         # accumulated weight.  No aliasing with the donated train state.
         zeros = jax.tree.map(jnp.zeros_like, (state.dam_params, state.tgt_bn))
         emas = {name: [zeros, 0.0] for name in VARIANTS}
         curve, best_oracle, sel_snapshot = [], (0, -1.0), None
+        cr_snapshot = None
         root = jax.random.key(1000 + seed)
         for blk in range(n_blocks):
             state, metrics = a_step(state, device_data,
                                     jax.random.fold_in(root, blk))
             step_i = (blk + 1) * ev
-            dmean = float(jnp.mean(dice_of(state)[1:]))
+            d_live, fr_live, ent_live = probe_of(state)
+            dmean = float(jnp.mean(d_live[1:]))
             rec = {"step": step_i, "dice": round(dmean, 4),
-                   "d_acc": round(float(metrics["d_acc"]), 4)}
+                   "d_acc": round(float(metrics["d_acc"]), 4),
+                   "feat_div": round(float(metrics.get(
+                       "feat_div", jnp.float32(0))), 6),
+                   "fracs": [round(float(x), 5) for x in fr_live],
+                   "ent": round(float(ent_live), 5)}
             rec["eq"] = round(selector.update(step_i, rec), 4)
+            rec["cr"] = round(cr_sel.update(step_i, rec["fracs"]), 4)
             for name, (dec, tau) in VARIANTS.items():
                 if tau is None or rec["eq"] < tau:
                     emas[name][0] = ema_update(emas[name][0], state, dec)
@@ -198,19 +225,28 @@ def main():
                                                 emas[name][0][0]),
                         tgt_bn=jax.tree.map(lambda a: a / w,
                                             emas[name][0][1]))
-                    rec[f"dice_{name}"] = round(
-                        float(jnp.mean(dice_of(es)[1:])), 4)
+                    d_e, fr_e, ent_e = probe_of(es)
+                    rec[f"dice_{name}"] = round(float(jnp.mean(d_e[1:])), 4)
+                    rec[f"fracs_{name}"] = [round(float(x), 5) for x in fr_e]
+                    rec[f"ent_{name}"] = round(float(ent_e), 5)
                 else:
                     rec[f"dice_{name}"] = rec["dice"]
+                    rec[f"fracs_{name}"] = rec["fracs"]
+                    rec[f"ent_{name}"] = rec["ent"]
             curve.append(rec)
             if dmean > best_oracle[1]:
                 best_oracle = (step_i, dmean)
             if selector.best_step == step_i:
                 sel_snapshot = (step_i, dmean)
+            if cr_sel.best_step == step_i:
+                cr_snapshot = (step_i, dmean)
         final = curve[-1]["dice"]
         row = {"seed": seed, "final": final,
                "selected": sel_snapshot[1] if sel_snapshot else final,
                "selected_step": sel_snapshot[0] if sel_snapshot else
+               cfg.adapt.steps,
+               "selected_cr": cr_snapshot[1] if cr_snapshot else final,
+               "selected_cr_step": cr_snapshot[0] if cr_snapshot else
                cfg.adapt.steps,
                "oracle": best_oracle[1], "oracle_step": best_oracle[0],
                "curve": curve}
@@ -220,6 +256,8 @@ def main():
         rows.append(row)
         print(f"[sweep] seed {seed}: final={final:.3f} "
               f"selected={row['selected']:.3f}@{row['selected_step']} "
+              f"selected_cr={row['selected_cr']:.3f}"
+              f"@{row['selected_cr_step']} "
               f"oracle={row['oracle']:.3f}@{row['oracle_step']} "
               + " ".join(f"{n}={row[n]:.3f}" for n in VARIANTS)
               + f" ({time.time() - t0:.0f}s)", flush=True)
@@ -234,9 +272,11 @@ def main():
     out = {"direction": args.direction, "seeds": args.seeds,
            "no_adapt": round(no_adapt, 4),
            "final": agg("final"), "selected": agg("selected"),
+           "selected_cr": agg("selected_cr"),
            "oracle": agg("oracle"),
            **{n: agg(n) for n in VARIANTS},
            **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
+           "src_fracs": [round(float(x), 5) for x in src_fracs],
            "per_seed": [{k: v for k, v in r.items() if k != "curve"}
                         for r in rows],
            "curves": {r["seed"]: r["curve"] for r in rows}}
@@ -246,7 +286,8 @@ def main():
         json.dump(out, f, indent=1)
     print(f"[sweep] wrote {path}")
     print(json.dumps({k: out[k] for k in
-                      ("no_adapt", "final", "selected", "oracle")}))
+                      ("no_adapt", "final", "selected", "selected_cr",
+                       "oracle")}))
 
 
 if __name__ == "__main__":

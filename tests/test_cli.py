@@ -78,3 +78,35 @@ def test_mmwhs_layout(tmp_path):
     assert len(vols2) == 2 and labs2 is None
     with pytest.raises(FileNotFoundError):
         mmwhs.load_domain(str(root), "nope")
+
+
+def test_cli_adapt_writes_class_ratio_selection(tmp_path):
+    """Full CLI train-source -> adapt flow on tiny synthetic data: the adapt
+    run must write selection.json carrying the class-ratio signal (the
+    default unsupervised checkpoint selection) and protect its checkpoint."""
+    import json
+    src_out = str(tmp_path / "src")
+    common = ["--synthetic", "--synthetic-volumes", "2",
+              "--config", os.path.join(
+                  os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  "configs", "smoke.json"),
+              "--set", "data.slice_size=32", "--set", "data.batch_size=2",
+              "--set", "run.log_every=4", "--set", "run.donate=false"]
+    rc = cli.main(["train-source", *common, "--set", "source.steps=8",
+                   "--set", "run.ckpt_every=0", "--out", src_out])
+    assert rc in (0, None)
+    adapt_out = str(tmp_path / "adapt")
+    rc = cli.main(["adapt", *common, "--source-ckpt", src_out,
+                   "--set", "adapt.steps=8", "--set", "adapt.pretrain_steps=0",
+                   "--set", "run.ckpt_every=4", "--out", adapt_out])
+    assert rc in (0, None)
+    with open(os.path.join(adapt_out, "selection.json")) as f:
+        rec = json.load(f)
+    assert rec["signal"] == "class_ratio"
+    assert 0 < rec["best_step"] <= 8
+    # metrics carry both unsupervised signals
+    sigs = set()
+    with open(os.path.join(adapt_out, "metrics.jsonl")) as f:
+        for ln in f:
+            sigs.update(json.loads(ln))
+    assert "class_ratio_dist" in sigs

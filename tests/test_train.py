@@ -323,3 +323,44 @@ def test_dam_ema_equilibrium_gate(tiny_config):
         for i in range(3):
             state, _ = step(state, batch, jax.random.key(10 + i))
         assert (float(state.ema_w) > 0) == expect_fold, cfg.adapt.ema_gate
+
+
+def test_class_ratio_selector(tmp_path):
+    """Class-ratio selection: picks the step whose predicted class fractions
+    are L1-closest to the source label marginals; persists selection.json."""
+    ref = np.array([0.9, 0.02, 0.02, 0.02, 0.04])
+    sel = adapt.ClassRatioSelector(ref, warmup_step=20)
+    trace = [
+        (10, [0.90, 0.02, 0.02, 0.02, 0.04]),  # perfect but inside warmup
+        (20, [0.96, 0.00, 0.01, 0.01, 0.02]),  # structures shrunk
+        (30, [0.91, 0.02, 0.02, 0.02, 0.03]),  # near the prior  <- best
+        (40, [0.99, 0.00, 0.00, 0.00, 0.01]),  # collapse
+    ]
+    for step, fr in trace:
+        sel.update(step, fr)
+    assert sel.best_step == 30
+    sel.save(str(tmp_path))
+    import json
+    with open(tmp_path / "selection.json") as f:
+        rec = json.load(f)
+    assert rec["best_step"] == 30 and rec["signal"] == "class_ratio"
+
+
+def test_label_fractions_and_ratio_probe(tiny_config):
+    """label_fractions sums to 1 and matches bincount; the jitted class-ratio
+    probe equals a direct forward + argmax count on the same slices."""
+    labs = [np.array([[0, 0], [1, 2]]), np.array([[0, 4], [4, 4]])]
+    fr = adapt.label_fractions(labs, 5)
+    np.testing.assert_allclose(fr, np.array([3, 1, 1, 0, 3]) / 8.0)
+
+    cfg = tiny_config
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    imgs = np.asarray(_batch(cfg, 0, "ct")["image"])  # [B,H,W,ctx]
+    probe = adapt.make_class_ratio_probe(cfg, imgs)
+    got = np.asarray(probe(state))
+    fwd = adapt.adapted_forward(cfg)
+    preds = np.asarray(jnp.argmax(fwd(state, jnp.asarray(imgs)), -1))
+    want = np.bincount(preds.reshape(-1), minlength=5) / preds.size
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
