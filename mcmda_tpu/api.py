@@ -91,11 +91,28 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
                             log_every=cfg.run.log_every, logger=logger,
                             start_step=start)
         start = n_pre
+    # unsupervised checkpoint selection (class-ratio prior, docs/design.md
+    # section 5c) — same machinery as the CLI; fires at checkpoint intervals
+    ref_fracs = adapt_mod.label_fractions(src_labels, cfg.data.num_classes)
+    probe_idx = np.linspace(0, len(tgt_ds) - 1,
+                            min(64, len(tgt_ds))).astype(int)
+    probe = adapt_mod.make_class_ratio_probe(cfg, tgt_ds.images[probe_idx])
+    selector = adapt_mod.ClassRatioSelector(
+        ref_fracs, warmup_step=n_pre + n_adapt // 5)
+
+    def select_cb(step_i, st, _metrics=None):
+        selector.update(step_i, np.asarray(probe(st)))
+        selector.save(out_dir)
+
     step = jax.jit(adapt_mod.make_adapt_step(cfg))
     state, _ = loop.run(step, state, feed, n_pre + n_adapt,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every if out_dir else 0,
-                        ckpt_dir=out_dir, logger=logger, start_step=start)
+                        ckpt_dir=out_dir, logger=logger, start_step=start,
+                        callback=select_cb if out_dir else None,
+                        protect_steps=lambda: (
+                            {selector.best_step}
+                            if selector.best_step is not None else ()))
     return state
 
 

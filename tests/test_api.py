@@ -28,6 +28,10 @@ def test_three_call_workflow(tiny_config, tmp_path):
     assert int(ad.step) == 30  # 10 pretrain + 20 adapt
     table1 = api.evaluate(cfg, ad, ct_v[1:], ct_l[1:])
     assert "AA" in table1 and "mean" in table1
+    # unsupervised class-ratio checkpoint selection ran and persisted
+    import json
+    with open(tmp_path / "ad" / "selection.json") as f:
+        assert json.load(f)["signal"] == "class_ratio"
 
     # resume: calling again with same out_dir continues from the checkpoint
     src2 = api.train_source(cfg, mri_v, mri_l, out_dir=str(tmp_path / "src"))
