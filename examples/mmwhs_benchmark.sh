@@ -25,9 +25,11 @@ python -m mcmda_tpu adapt --config configs/mri2ct.json \
     --data-root "$DATA" --source-ckpt "$OUT/src/step_00020000" \
     --out "$OUT/adapt"
 
-# adapted eval: the headline table (target: mean Dice ~63.9, BASELINE.md)
+# adapted eval: the headline table (target: mean Dice ~63.9, BASELINE.md).
+# Passing the RUN DIR resolves through selection.json — the unsupervised
+# class-ratio-selected checkpoint (near-oracle; docs/design.md section 5c)
 python -m mcmda_tpu evaluate --config configs/mri2ct.json \
-    --data-root "$DATA" --ckpt "$OUT/adapt/step_00010500" \
+    --data-root "$DATA" --ckpt "$OUT/adapt" \
     --json-out "$OUT/adapted.json"
 
 # config 5: reverse direction with multi-level critics
@@ -37,5 +39,5 @@ python -m mcmda_tpu adapt --config configs/ct2mri.json --direction ct2mri \
     --data-root "$DATA" --source-ckpt "$OUT/../ct2mri/src/step_00020000" \
     --out "$OUT/../ct2mri/adapt"
 python -m mcmda_tpu evaluate --config configs/ct2mri.json --direction ct2mri \
-    --data-root "$DATA" --ckpt "$OUT/../ct2mri/adapt/step_00010500" \
+    --data-root "$DATA" --ckpt "$OUT/../ct2mri/adapt" \
     --json-out "$OUT/../ct2mri/adapted.json"

@@ -98,7 +98,7 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
                             min(64, len(tgt_ds))).astype(int)
     probe = adapt_mod.make_class_ratio_probe(cfg, tgt_ds.images[probe_idx])
     selector = adapt_mod.ClassRatioSelector(
-        ref_fracs, warmup_step=n_pre + n_adapt // 5)
+        ref_fracs, warmup_step=adapt_mod.select_warmup(cfg))
 
     def select_cb(step_i, st, _metrics=None):
         selector.update(step_i, np.asarray(probe(st)))

@@ -375,9 +375,10 @@ def cmd_adapt(args):
     # checkpoint is protected from pruning.  Primary signal per
     # cfg.adapt.select_signal (class-ratio prior measured near-oracle —
     # docs/design.md section 5c); the other signal is still logged.
-    warmup = cfg.adapt.pretrain_steps + cfg.adapt.steps // 5
-    eq_selector = adapt.EquilibriumSelector(warmup_step=warmup)
-    cr_selector = adapt.ClassRatioSelector(ref_fracs, warmup_step=warmup)
+    eq_selector = adapt.EquilibriumSelector(
+        warmup_step=cfg.adapt.pretrain_steps + cfg.adapt.steps // 5)
+    cr_selector = adapt.ClassRatioSelector(
+        ref_fracs, warmup_step=adapt.select_warmup(cfg))
     selector = cr_selector if cfg.adapt.select_signal == "class_ratio" \
         else eq_selector
     ratio_probe = adapt.make_class_ratio_probe(cfg, probe_images)

@@ -181,6 +181,11 @@ class AdaptConfig:
     #                  source label marginals (measured best: near-oracle)
     # "equilibrium"  — smoothed critic-equilibrium distance |d_acc - 0.5|
     select_signal: str = "class_ratio"
+    # Steps (after pretrain) before selection may fire; clamped to steps/5
+    # for short runs.  500 measured best across BOTH benchmark directions
+    # (docs/design.md section 5c): the very first checkpoints can
+    # accidentally match the prior, while MRI->CT peaks as early as ~750.
+    select_warmup: int = 500
 
 
 @dataclasses.dataclass(frozen=True)

@@ -339,6 +339,13 @@ class ClassRatioSelector(_BestScoreSelector):
         return self._record(step, score)
 
 
+def select_warmup(cfg: ExperimentConfig) -> int:
+    """Warmup step for ClassRatioSelector: pretrain + cfg.adapt.select_warmup
+    clamped to a fifth of the run (so short/smoke runs still select)."""
+    a = cfg.adapt
+    return a.pretrain_steps + min(a.select_warmup, a.steps // 5)
+
+
 def label_fractions(labels, num_classes: int):
     """Class-voxel fractions of a label array set (the source-domain
     marginal prior for ClassRatioSelector)."""

@@ -192,7 +192,7 @@ def main():
         selector = adapt_mod.EquilibriumSelector(
             warmup_step=cfg.adapt.steps // 5)
         cr_sel = adapt_mod.ClassRatioSelector(
-            src_fracs, warmup_step=cfg.adapt.steps // 5)
+            src_fracs, warmup_step=adapt_mod.select_warmup(cfg))
         # raw EMA trees start at ZERO (bias-corrected at eval); w tracks the
         # accumulated weight.  No aliasing with the donated train state.
         zeros = jax.tree.map(jnp.zeros_like, (state.dam_params, state.tgt_bn))
