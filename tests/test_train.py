@@ -364,3 +364,34 @@ def test_label_fractions_and_ratio_probe(tiny_config):
     want = np.bincount(preds.reshape(-1), minlength=5) / preds.size
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_bf16_compute_path(tiny_config):
+    """compute_dtype=bfloat16: train + eval run finite, activations flow in
+    bf16 (params stay f32 masters), and eval probs stay close to f32."""
+    import dataclasses
+    cfg16 = dataclasses.replace(tiny_config, segmenter=dataclasses.replace(
+        tiny_config.segmenter, compute_dtype=jnp.bfloat16))
+    batch = _batch(cfg16)
+    st = source.init_state(jax.random.key(0), cfg16)
+    step = jax.jit(source.make_train_step(cfg16, augment=False))
+    st2, m = step(st, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    # master params remain f32 after the update
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(st2.params))
+
+    probs16 = source.make_eval_forward(cfg16)(st.params, st.bn_state,
+                                              batch["image"])
+    probs32 = source.make_eval_forward(tiny_config)(st.params, st.bn_state,
+                                                    batch["image"])
+    # same weights, bf16 vs f32 activations: small numerical gap only
+    assert float(jnp.abs(probs16.astype(jnp.float32) - probs32).mean()) < 0.02
+
+    # adaptation step also runs under bf16
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg16.segmenter)
+    a_state = adapt.init_state(jax.random.key(1), cfg16, src_params, src_bn)
+    a_batch = {"src_image": _batch(cfg16, 0, "mri")["image"],
+               "tgt_image": _batch(cfg16, 0, "ct")["image"]}
+    a_step = jax.jit(adapt.make_adapt_step(cfg16, augment=False))
+    _, am = a_step(a_state, a_batch, jax.random.key(2))
+    assert np.isfinite(float(am["d_loss"])) and np.isfinite(float(am["g_loss"]))
