@@ -96,6 +96,8 @@ def main():
     from mcmda_tpu.evaluation import inference
     from mcmda_tpu.models import segmenter
     from mcmda_tpu.train import adapt, source
+    from mcmda_tpu.utils import jax_cache
+    jax_cache.enable()
 
     import dataclasses
     cfg = ExperimentConfig()

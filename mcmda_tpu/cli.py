@@ -570,6 +570,8 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(0)
+    from mcmda_tpu.utils import jax_cache
+    jax_cache.enable()
     cfg_probe = _load_config(args.config, args.set)
     if cfg_probe.run.debug_nans:
         import jax

@@ -74,6 +74,8 @@ def measure(dtype_name: str, compute_dtype):
 
 
 def main():
+    from mcmda_tpu.utils import jax_cache
+    jax_cache.enable()
     f32 = measure("f32 ", jnp.float32)
     bf16 = measure("bf16", jnp.bfloat16)
     print(f"speedup: adapt x{f32['adapt_ms'] / bf16['adapt_ms']:.3f}  "

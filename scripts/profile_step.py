@@ -50,6 +50,8 @@ def bench_chained(name, fn, x0, K=10, reps=2):
 
 
 def main():
+    from mcmda_tpu.utils import jax_cache
+    jax_cache.enable()
     cfg = ExperimentConfig()
     bs = cfg.data.batch_size
     params, state = segmenter.init(jax.random.key(0), cfg.segmenter)

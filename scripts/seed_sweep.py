@@ -56,6 +56,8 @@ def device_dice(fwd_args_state, vol_stacks, true_onehot_sums, true_labels,
 
 
 def main():
+    from mcmda_tpu.utils import jax_cache
+    jax_cache.enable()
     p = argparse.ArgumentParser()
     p.add_argument("--direction", default="ct2mri",
                    choices=["mri2ct", "ct2mri"])

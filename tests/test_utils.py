@@ -129,3 +129,21 @@ def test_step_timer():
     time.sleep(0.01)
     t.tick()
     assert 0 < t.slices_per_sec_per_chip < 4 / 0.01
+
+
+def test_jax_cache_enable(tmp_path):
+    """jax_cache.enable points the persistent compilation cache at a durable
+    dir, idempotently (never overrides an existing setting)."""
+    import jax
+    from mcmda_tpu.utils import jax_cache
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        target = str(tmp_path / "xla")
+        jax_cache.enable(target)
+        assert jax.config.jax_compilation_cache_dir == target
+        # a second call must not override an existing setting
+        jax_cache.enable(str(tmp_path / "other"))
+        assert jax.config.jax_compilation_cache_dir == target
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
