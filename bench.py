@@ -156,6 +156,27 @@ def main():
         best = min(best, time.perf_counter() - t0)
     serve_dt = best
     serve_sps = vol.shape[0] / serve_dt
+
+    # bf16 serving variant: eval-only precision is safe (probs within 0.02
+    # of f32, tests/test_train.py::test_bf16_compute_path; the bf16 QUALITY
+    # cliff is specific to adversarial training — docs/roadmap.md), so the
+    # serving figure is also reported at bf16 compute.
+    cfg16 = dataclasses.replace(cfg, segmenter=dataclasses.replace(
+        cfg.segmenter, compute_dtype=jnp.bfloat16))
+
+    def fwd16(img, params, bn):
+        _, probs, _, _ = segmenter.apply(params, bn, img, cfg16.segmenter,
+                                         train=False)
+        return probs
+
+    run16 = inference._scanned_argmax(fwd16, (k,) + stacks.shape[1:])
+    _ = np.asarray(run16(stacks, src_params, src_bn))
+    best16 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = int(jnp.sum(run16(stacks, src_params, src_bn)))
+        best16 = min(best16, time.perf_counter() - t0)
+    serve16_sps = vol.shape[0] / best16
     # e2e including host->device volume upload (tunnel-dominated here)
     t0 = time.perf_counter()
     _ = inference.predict_volume(fwd, vol, context=cfg.data.context_slices,
@@ -182,6 +203,7 @@ def main():
             "source_tflops_per_sec": round(s_tflops, 2),
             "source_mfu_vs_measured_peak": round(s_tflops / peak, 4),
             "serving_slices_per_sec": round(serve_sps, 2),
+            "serving_bf16_slices_per_sec": round(serve16_sps, 2),
             "serving_volume_ms": round(serve_dt * 1e3, 2),
             "serving_e2e_volume_ms": round(serve_e2e_dt * 1e3, 2),
             "measured_peak_tflops": round(peak, 1),

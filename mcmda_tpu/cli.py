@@ -45,6 +45,9 @@ def _apply_override(obj, keys, val):
             parsed = val  # bare string, e.g. plug_depth=rm2
         if isinstance(parsed, list):
             parsed = tuple(parsed)
+        if keys[0] == "compute_dtype" and isinstance(parsed, str):
+            import jax.numpy as _jnp
+            parsed = _jnp.dtype(parsed).type
         return dataclasses.replace(obj, **{keys[0]: parsed})
     sub = getattr(obj, keys[0])
     return dataclasses.replace(obj, **{keys[0]: _apply_override(sub, keys[1:],

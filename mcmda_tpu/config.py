@@ -227,10 +227,15 @@ class ExperimentConfig:
                 return {k: enc(v) for k, v in dataclasses.asdict(o).items()}
             if isinstance(o, (tuple, list)):
                 return [enc(v) for v in o]
-            if o is jnp.float32 or o is jnp.bfloat16:
-                return jnp.dtype(o).name
             if isinstance(o, dict):
                 return {k: enc(v) for k, v in o.items()}
+            if not isinstance(o, (str, int, float, bool, type(None))):
+                # dtype-like leaves: jnp.float32 (a jax _ScalarMeta),
+                # ml_dtypes.bfloat16 (a numpy scalar type from from_json), …
+                try:
+                    return jnp.dtype(o).name
+                except (TypeError, ValueError):
+                    pass
             return o
 
         return json.dumps(enc(self), indent=2)

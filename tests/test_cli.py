@@ -110,3 +110,13 @@ def test_cli_adapt_writes_class_ratio_selection(tmp_path):
         for ln in f:
             sigs.update(json.loads(ln))
     assert "class_ratio_dist" in sigs
+
+
+def test_config_bf16_roundtrip():
+    """compute_dtype=bfloat16 must survive a to_json/from_json round-trip
+    (regression: ml_dtypes.bfloat16 from from_json wasn't re-encodable)."""
+    import jax.numpy as jnp
+    cfg = cli._load_config(None, ["segmenter.compute_dtype=bfloat16"])
+    assert cfg.segmenter.compute_dtype == jnp.bfloat16
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2.segmenter.compute_dtype == jnp.bfloat16
