@@ -101,9 +101,12 @@ def main():
 
     import dataclasses
     cfg = ExperimentConfig()
-    # production TPU path: gather-free Pallas warp kernel (configs/*.json)
-    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data,
-                                                            warp="pallas"))
+    # production TPU path (configs/*.json): gather-free Pallas warp kernel +
+    # bf16 frozen-source-path forward (gradient-free; quality verified)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, warp="pallas"),
+        adapt=dataclasses.replace(cfg.adapt, src_feats_bf16=True))
     b = cfg.data.batch_size
     src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
 

@@ -176,6 +176,10 @@ class AdaptConfig:
     ema_gate: float = 0.0
     # smoothing decay for the gate's |d_acc - 0.5| tracker
     ema_gate_smooth: float = 0.9986
+    # Run the FROZEN source-path forward (critic input only; carries no
+    # gradient) at bf16 — ~15% step speedup with no effect on DAM gradients
+    # (taps cast back to f32 before the critic).
+    src_feats_bf16: bool = False
     # Unsupervised checkpoint-selection signal (train/adapt.py selectors):
     # "class_ratio"  — L1 distance of predicted target class fractions to the
     #                  source label marginals (measured best: near-oracle)

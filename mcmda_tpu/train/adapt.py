@@ -17,6 +17,7 @@ into BOTH the frozen source path and the DAM initialization [P1 SIII].
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 import jax
@@ -113,12 +114,19 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
     bn_train_stages = (frozenset(segmenter.dam_stage_names(seg_cfg, a.plug_depth))
                        if a.hlm_bn == "frozen" else None)
 
+    # The frozen source path carries NO gradient (it only feeds the critic),
+    # so it can run at bf16 with zero effect on DAM gradients — only the
+    # critic's view of source features moves by bf16 rounding.  ~7.7 ms of
+    # the ~22 ms step is this forward (scripts/profile_step.py).
+    src_seg_cfg = seg_cfg if not a.src_feats_bf16 else \
+        dataclasses.replace(seg_cfg, compute_dtype=jnp.bfloat16)
+
     def src_taps(src_params, src_bn, x):
         # frozen source path; batch-stat features (stats not persisted) keep
         # the two critic inputs statistically comparable
-        _, _, taps, _ = segmenter.apply(src_params, src_bn, x, seg_cfg,
+        _, _, taps, _ = segmenter.apply(src_params, src_bn, x, src_seg_cfg,
                                         train=True, axis_name=axis_name)
-        return taps
+        return {k: v.astype(jnp.float32) for k, v in taps.items()}
 
     def tgt_forward(dam_params, state: AdaptState, x):
         _, _, taps, new_bn = segmenter.apply(
