@@ -21,7 +21,7 @@ from mcmda_tpu.config import ExperimentConfig
 from mcmda_tpu.data import pipeline, volumes as vio
 from mcmda_tpu.evaluation import report
 from mcmda_tpu.train import adapt as adapt_mod, loop, source as source_mod
-from mcmda_tpu.utils import logging as mlog
+from mcmda_tpu.utils import checkpoint as ckpt, logging as mlog
 
 
 def load_config(path: str | None = None) -> ExperimentConfig:
@@ -99,20 +99,36 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
     probe = adapt_mod.make_class_ratio_probe(cfg, tgt_ds.images[probe_idx])
     selector = adapt_mod.ClassRatioSelector(
         ref_fracs, warmup_step=adapt_mod.select_warmup(cfg))
+    best_stash = {}
 
-    def select_cb(step_i, st, _metrics=None):
+    def select_probe(step_i, st, _metrics=None):
         selector.update(step_i, np.asarray(probe(st)))
+        if selector.best_step == step_i:
+            best_stash["dam_params"] = jax.device_get(st.dam_params)
+            best_stash["tgt_bn"] = jax.device_get(st.tgt_bn)
         selector.save(out_dir)
 
     step = jax.jit(adapt_mod.make_adapt_step(cfg))
+    sel_every = cfg.adapt.select_every or cfg.run.ckpt_every
+    sel_every = min(sel_every, max(1, n_adapt // 4))  # short runs
     state, _ = loop.run(step, state, feed, n_pre + n_adapt,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every if out_dir else 0,
                         ckpt_dir=out_dir, logger=logger, start_step=start,
-                        callback=select_cb if out_dir else None,
+                        probe_every=sel_every if out_dir else 0,
+                        probe=select_probe if out_dir else None,
                         protect_steps=lambda: (
                             {selector.best_step}
                             if selector.best_step is not None else ()))
+    if out_dir and best_stash and selector.best_step is not None:
+        base = os.path.join(out_dir, f"step_{selector.best_step:08d}")
+        if not (os.path.isdir(base) or os.path.exists(base + ".npz")):
+            sel_state = jax.device_get(state).replace(
+                dam_params=best_stash["dam_params"],
+                tgt_bn=best_stash["tgt_bn"],
+                step=np.asarray(selector.best_step, np.int32))
+            ckpt.save(out_dir, sel_state, step=selector.best_step,
+                      block=True)
     return state
 
 

@@ -386,8 +386,14 @@ def cmd_adapt(args):
         else eq_selector
     ratio_probe = adapt.make_class_ratio_probe(cfg, probe_images)
 
-    def snapshot_cb(step, st, metrics=None):
-        from mcmda_tpu.evaluation import snapshots
+    # The probe cadence (cfg.adapt.select_every) is independent of
+    # checkpointing: when the primary score improves, only the tiny
+    # DAM + target-BN trees are stashed host-side (~MBs) and the selected
+    # checkpoint is materialized once at run end — 250-step selection
+    # granularity without 4x checkpoint I/O.
+    best_stash = {}
+
+    def select_probe(step, st, metrics=None):
         scalars = {}
         if metrics and "d_acc" in metrics:
             scalars["equilibrium_dist"] = eq_selector.update(step, metrics)
@@ -396,8 +402,14 @@ def cmd_adapt(args):
         scalars["class_ratio_dist"] = cr_selector.update(
             step, np.asarray(ratio_probe(st)))
         logger.log(step, scalars)
+        if selector.best_step == step:
+            best_stash["dam_params"] = jax.device_get(st.dam_params)
+            best_stash["tgt_bn"] = jax.device_get(st.tgt_bn)
         if not _multihost_active() or _is_primary():
             selector.save(args.out)
+
+    def snapshot_cb(step, st, metrics=None):
+        from mcmda_tpu.evaluation import snapshots
         if _multihost_active() and not _is_primary():
             return
         probs = snap_fwd(st, jnp_asarray(snap_batch))
@@ -409,8 +421,10 @@ def cmd_adapt(args):
         import jax.numpy as jnp
         return jnp.asarray(x)
 
+    sel_every = cfg.adapt.select_every or cfg.run.ckpt_every
+    sel_every = min(sel_every, max(1, cfg.adapt.steps // 4))  # short runs
     inner = _pick_inner(cfg.adapt.pretrain_steps, cfg.adapt.steps,
-                        cfg.run.log_every, cfg.run.ckpt_every) \
+                        cfg.run.log_every, cfg.run.ckpt_every, sel_every) \
         if on_device else 1
 
     def mk_step(**kw):
@@ -433,13 +447,32 @@ def cmd_adapt(args):
                         logger=logger, start_step=start,
                         callback=snapshot_cb if args.out else None,
                         inner_steps=inner,
+                        probe_every=sel_every if args.out else 0,
+                        probe=select_probe if args.out else None,
                         protect_steps=lambda: (
                             {selector.best_step}
                             if selector.best_step is not None else ()))
     if selector.best_step is not None:
-        print(f"selected checkpoint (critic equilibrium): "
+        print(f"selected checkpoint ({selector.signal}): "
               f"step {selector.best_step} "
               f"(score {selector.best_score:.4f})")
+        if best_stash and args.out:
+            # materialize the selected checkpoint: final state with the
+            # stashed DAM/BN swapped in (the frozen HLM and source path are
+            # unchanged across the run, optimizer state is irrelevant to
+            # evaluation/resume-from-selected)
+            sel_state = jax.device_get(state)
+            sel_state = sel_state.replace(
+                dam_params=best_stash["dam_params"],
+                tgt_bn=best_stash["tgt_bn"],
+                step=np.asarray(selector.best_step, np.int32))
+            base = os.path.join(args.out,
+                                f"step_{selector.best_step:08d}")
+            if not (os.path.isdir(base) or os.path.exists(base + ".npz")):
+                checkpoint.save(args.out, sel_state,
+                                step=selector.best_step, block=True)
+                print(f"materialized selected checkpoint at step "
+                      f"{selector.best_step}")
     print(f"done; final checkpoint in {args.out}")
 
 

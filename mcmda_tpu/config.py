@@ -190,6 +190,13 @@ class AdaptConfig:
     # (docs/design.md section 5c): the very first checkpoints can
     # accidentally match the prior, while MRI->CT peaks as early as ~750.
     select_warmup: int = 500
+    # Selection-probe cadence in steps, independent of run.ckpt_every: the
+    # probe is one cheap device dispatch, and the selected weights are
+    # stashed host-side (DAM + target BN only, ~MBs) and materialized as a
+    # checkpoint at run end — so selection keeps its measured 250-step
+    # granularity (0.78/0.80 mean Dice vs 0.69/0.78 at 1000) without 4x
+    # checkpoint I/O.  0 falls back to the ckpt_every cadence.
+    select_every: int = 250
 
 
 @dataclasses.dataclass(frozen=True)

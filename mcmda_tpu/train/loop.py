@@ -64,7 +64,8 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
         ckpt_dir: str | None = None, logger: mlog.MetricsLogger | None = None,
         start_step: int = 0, callback: Callable | None = None,
         keep_checkpoints: int = 3, inner_steps: int = 1,
-        protect_steps: Callable | None = None):
+        protect_steps: Callable | None = None,
+        probe_every: int = 0, probe: Callable | None = None):
     """Drive ``step_fn(state, batch, rng)`` for ``num_steps`` TRAIN steps.
 
     The rng handed to each dispatch derives from (seed, step) so a resumed
@@ -77,6 +78,10 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
     ``inner_steps > 1``: ``step_fn`` must be a ``scanned_step`` advancing
     that many train steps per call; num_steps/start_step/log_every/
     ckpt_every stay in TRAIN-step units (rounded to multiples).
+
+    ``probe(step, state, metrics)`` fires every ``probe_every`` train steps
+    — a cadence INDEPENDENT of checkpointing, for cheap periodic device
+    probes (e.g. the unsupervised selection signal).
     """
     logger = logger or mlog.MetricsLogger(echo=False)
     root = prng.root_key(seed)
@@ -91,6 +96,11 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                 last_metrics = {kk: float(v) for kk, v in
                                 jax.device_get(metrics).items()}
                 logger.log(step, last_metrics)
+            if probe is not None and probe_every and \
+                    (step + 1) % probe_every < k:
+                probe(step + 1, state,
+                      {kk: float(v) for kk, v in
+                       jax.device_get(metrics).items()})
             if ckpt_every and step + 1 < num_steps and \
                     (step + 1) % ckpt_every < k:
                 if ckpt_dir:

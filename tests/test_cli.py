@@ -104,6 +104,16 @@ def test_cli_adapt_writes_class_ratio_selection(tmp_path):
         rec = json.load(f)
     assert rec["signal"] == "class_ratio"
     assert 0 < rec["best_step"] <= 8
+    # the selected checkpoint is materialized even when the selection probe
+    # (finer cadence) picked a step with no periodic checkpoint
+    base = os.path.join(adapt_out, f"step_{rec['best_step']:08d}")
+    assert os.path.isdir(base) or os.path.exists(base + ".npz")
+    # and the run-dir eval path resolves to it
+    rc = cli.main(["evaluate", *common, "--ckpt", adapt_out,
+                   "--json-out", os.path.join(adapt_out, "eval.json")])
+    assert rc in (0, None)
+    with open(os.path.join(adapt_out, "eval.json")) as f:
+        assert "mean" in json.load(f)
     # metrics carry both unsupervised signals
     sigs = set()
     with open(os.path.join(adapt_out, "metrics.jsonl")) as f:
