@@ -121,7 +121,12 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                           f"{step + 1} and stopped", flush=True)
                 return state, last_metrics
     if ckpt_dir:
-        checkpoint.save(os.path.join(ckpt_dir), state, step=num_steps)
+        # the FINAL save must commit before return: an async save racing
+        # interpreter shutdown can lose the atexit barrier to Python's own
+        # executor teardown and leave an uncommitted .orbax-checkpoint-tmp
+        # (observed on the full benchmark run)
+        checkpoint.save(os.path.join(ckpt_dir), state, step=num_steps,
+                        block=True)
     return state, last_metrics
 
 
