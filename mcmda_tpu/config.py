@@ -57,6 +57,12 @@ class SegmenterConfig:
     bn_eps: float = 1e-5
     # Compute dtype for conv/matmul inputs; params + BN stats stay f32.
     compute_dtype: Any = jnp.float32
+    # Execution layout of the THIN high-res stages (stem + rm1 entry):
+    # "s2d"  — space-to-depth: dense MXU convs over slot channels; exact
+    #          (fwd+bwd 0.8 ms vs 2.0 ms measured; ops/s2d.py). Falls back
+    #          automatically when shapes don't divide by 2.
+    # "nhwc" — stock XLA convs (the r2 behavior; also the test oracle).
+    thin_layout: str = "s2d"
 
     @property
     def total_stride(self) -> int:

@@ -108,9 +108,19 @@ def _kernel(coef_ref, in_ref, out_ref, *, rb: int, h: int, w: int, c: int,
 def band_bound(h: int, w: int, rb: int, max_rotate_rad: float,
                zoom_min: float) -> int:
     """Static y-band size covering any ys span an RB-row output block can
-    have under the given rotation/zoom bounds (+1 tri support each side)."""
+    have under the given rotation/zoom bounds.
+
+    Slack accounting on top of the true corner-to-corner ys span: +-1 for
+    the tri-weight support (2 rows), +1 for the fractional floor of y_min,
+    and up to +8 lost to the kernel's sublane alignment of the band start
+    (``y_min.astype(int32) & ~7`` can move the start ~8 rows below the first
+    needed one).  Total +12 (> 2+1+8), ceil'd to a multiple of 8.  The r2
+    kernel shipped +4, which silently dropped up to ~113 bilinear taps per
+    image at max rotation / min zoom (ADVICE r2, medium) — covered by the
+    worst-case sweep in tests/test_kernels.py.
+    """
     span = ((rb - 1) / zoom_min + abs(np.sin(max_rotate_rad)) * (w - 1)
-            / zoom_min + 4)
+            / zoom_min + 12)
     return min(h, int(-(-span // 8) * 8))
 
 

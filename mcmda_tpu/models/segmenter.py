@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mcmda_tpu.config import SegmenterConfig
-from mcmda_tpu.ops import blocks, layers
+from mcmda_tpu.ops import blocks, layers, s2d
 
 
 def init(key, cfg: SegmenterConfig):
@@ -82,24 +82,48 @@ def apply(
     new_state: Dict = {}
     in_dam = dam_params is not None
     h = x.astype(cfg.compute_dtype)
+    h_s2d = None  # space-to-depth view of the previous stage's output
     for spec in cfg.stages:
         p_src = dam_params if in_dam else params
         p = p_src[spec.name]
         stage_train = train and (bn_train_stages is None
                                  or spec.name in bn_train_stages)
         if spec.name == "stem":
-            h = layers.conv_apply(p["conv"], h, compute_dtype=cfg.compute_dtype)
-            h, bn_s = layers.bn_apply(p["bn"], state[spec.name]["bn"], h,
-                                      stage_train, cfg.bn_momentum, cfg.bn_eps,
-                                      axis_name)
-            h = layers.relu(h)
+            if (cfg.thin_layout == "s2d" and h.shape[1] % 2 == 0
+                    and h.shape[2] % 2 == 0):
+                # thin-stage fast path (ops/s2d.py): dense MXU convs over
+                # slot channels; exact vs the NHWC path (tested)
+                y2 = s2d.stem_conv(s2d.space_to_depth(h), p["conv"]["w"],
+                                   cfg.compute_dtype)
+                y2, bn_s = s2d.bn_relu(p["bn"], state[spec.name]["bn"], y2,
+                                       spec.features, stage_train,
+                                       cfg.bn_momentum, cfg.bn_eps, axis_name)
+                h_s2d = y2
+                # NHWC view: XLA dead-code-eliminates this when no consumer
+                # (taps/critic) actually reads the stem activation
+                h = s2d.depth_to_space(y2, spec.features)
+            else:
+                h = layers.conv_apply(p["conv"], h,
+                                      compute_dtype=cfg.compute_dtype)
+                h, bn_s = layers.bn_apply(p["bn"], state[spec.name]["bn"], h,
+                                          stage_train, cfg.bn_momentum,
+                                          cfg.bn_eps, axis_name)
+                h = layers.relu(h)
             new_state[spec.name] = {"bn": bn_s}
         else:
-            h, st = blocks.stage_apply(p, state[spec.name], h, spec,
-                                       train=stage_train,
-                                       momentum=cfg.bn_momentum, eps=cfg.bn_eps,
-                                       axis_name=axis_name,
-                                       compute_dtype=cfg.compute_dtype)
+            if h_s2d is not None and spec.stride == 2 and spec.dilation == 1:
+                h, st = blocks.stage_apply_s2d_entry(
+                    p, state[spec.name], h_s2d, spec, train=stage_train,
+                    momentum=cfg.bn_momentum, eps=cfg.bn_eps,
+                    axis_name=axis_name, compute_dtype=cfg.compute_dtype)
+            else:
+                h, st = blocks.stage_apply(p, state[spec.name], h, spec,
+                                           train=stage_train,
+                                           momentum=cfg.bn_momentum,
+                                           eps=cfg.bn_eps,
+                                           axis_name=axis_name,
+                                           compute_dtype=cfg.compute_dtype)
+            h_s2d = None
             new_state[spec.name] = st
         taps[spec.name] = h
         if in_dam and plug_depth is not None and spec.name == plug_depth:

@@ -65,6 +65,56 @@ def residual_block_apply(
     return layers.relu(h + sc), new_state
 
 
+def residual_block_apply_s2d_entry(
+    params,
+    state,
+    s2_in,
+    *,
+    train: bool = False,
+    momentum: float = 0.99,
+    eps: float = 1e-5,
+    axis_name=None,
+    compute_dtype=jnp.float32,
+):
+    """Stride-2 entry residual block consuming a SPACE-TO-DEPTH input
+    (ops/s2d.py): conv1 runs as the dense 2x2 s2d kernel, the 1x1 stride-2
+    projection reads block slot (0,0); both land on the natural
+    half-resolution NHWC grid, so conv2 and everything after are stock.
+    Exact == ``residual_block_apply(stride=2, dilation=1)`` on the
+    depth-to-space of ``s2_in``."""
+    from mcmda_tpu.ops import s2d
+
+    new_state = {}
+    h = s2d.entry_conv(s2_in, params["conv1"]["w"], compute_dtype)
+    h, new_state["bn1"] = layers.bn_apply(params["bn1"], state["bn1"], h, train,
+                                          momentum, eps, axis_name)
+    h = layers.relu(h)
+    h = layers.conv_apply(params["conv2"], h, stride=1, dilation=1,
+                          compute_dtype=compute_dtype)
+    h, new_state["bn2"] = layers.bn_apply(params["bn2"], state["bn2"], h, train,
+                                          momentum, eps, axis_name)
+    sc = s2d.proj_conv(s2_in, params["proj"]["w"], compute_dtype)
+    sc, new_state["bn_p"] = layers.bn_apply(params["bn_p"], state["bn_p"], sc,
+                                            train, momentum, eps, axis_name)
+    return layers.relu(h + sc), new_state
+
+
+def stage_apply_s2d_entry(params, state, s2_in, spec, *, train=False,
+                          momentum=0.99, eps=1e-5, axis_name=None,
+                          compute_dtype=jnp.float32):
+    """``stage_apply`` whose FIRST (stride-2) block consumes an s2d tensor."""
+    new_state = {}
+    x, new_state["b0"] = residual_block_apply_s2d_entry(
+        params["b0"], state["b0"], s2_in, train=train, momentum=momentum,
+        eps=eps, axis_name=axis_name, compute_dtype=compute_dtype)
+    for i in range(1, spec.blocks):
+        x, new_state[f"b{i}"] = residual_block_apply(
+            params[f"b{i}"], state[f"b{i}"], x, stride=1,
+            dilation=spec.dilation, train=train, momentum=momentum, eps=eps,
+            axis_name=axis_name, compute_dtype=compute_dtype)
+    return x, new_state
+
+
 def stage_init(key, cin: int, spec):
     """A stage = `spec.blocks` residual blocks; the first carries the stride/
     channel change."""

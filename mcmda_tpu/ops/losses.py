@@ -110,9 +110,27 @@ def gan_losses(kind: str):
     raise ValueError(f"unknown gan_loss {kind!r}")
 
 
-def critic_accuracy(src_logits, tgt_logits):
+def decision_boundary(kind: str) -> float:
+    """Per-loss critic decision boundary for ``critic_accuracy``.
+
+    nonsat trains sigmoid logits (decision at logit 0 = probability 0.5);
+    lsgan REGRESSES source logits to 1.0 and target logits to 0.0, so the
+    midpoint between the targets — 0.5 — is the decision point.  Thresholding
+    lsgan logits at 0 would call ~half of a confidently-separated critic's
+    target patches wrong, biasing d_acc low and shifting the meaning of the
+    d_acc_cap throttle and every |d_acc - 0.5| equilibrium signal.
+    """
+    if kind == "nonsat":
+        return 0.0
+    if kind == "lsgan":
+        return 0.5
+    raise ValueError(f"unknown gan_loss {kind!r}")
+
+
+def critic_accuracy(src_logits, tgt_logits, boundary: float = 0.0):
     """Fraction of critic patch decisions that are correct; ~0.5 at the
-    adversarial equilibrium (the reference's TensorBoard health signal)."""
-    correct = jnp.mean((src_logits > 0).astype(jnp.float32)) + \
-        jnp.mean((tgt_logits <= 0).astype(jnp.float32))
+    adversarial equilibrium (the reference's TensorBoard health signal).
+    ``boundary`` must match the loss in play — use ``decision_boundary``."""
+    correct = jnp.mean((src_logits > boundary).astype(jnp.float32)) + \
+        jnp.mean((tgt_logits <= boundary).astype(jnp.float32))
     return 0.5 * correct

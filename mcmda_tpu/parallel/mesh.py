@@ -23,6 +23,14 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
             except RuntimeError:
                 cpus = []
             if len(cpus) >= num_devices:
+                import sys
+                print(
+                    f"WARNING: make_mesh({num_devices}): default platform "
+                    f"{devs[0].platform!r} has only {len(devs)} device(s); "
+                    f"falling back to the VIRTUAL CPU platform ({len(cpus)} "
+                    "devices). Fine for tests/dryruns — on real hardware "
+                    "this means you are NOT training on the accelerator; "
+                    "check --dp against the chip count.", file=sys.stderr)
                 devs = cpus
             else:
                 raise ValueError(

@@ -161,7 +161,8 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
 
         (dl, (l_s, l_t)), grads = jax.value_and_grad(loss, has_aux=True)(
             state.critic_params)
-        acc = losses.critic_accuracy(l_s, l_t)
+        acc = losses.critic_accuracy(l_s, l_t,
+                                     losses.decision_boundary(a.gan_loss))
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             # GLOBAL accuracy: every replica must make the same throttle
@@ -381,14 +382,19 @@ def make_class_ratio_probe(cfg: ExperimentConfig, probe_images,
     stacks = jnp.asarray(probe_images).reshape(
         (-1, b) + tuple(probe_images.shape[1:]))
     nc = cfg.data.num_classes
+    # padding rows (repeats of the last slice) must NOT count toward the
+    # predicted class fractions — they would bias the selection score toward
+    # the last probe slice's content (ADVICE r2)
+    valid = (jnp.arange(stacks.shape[0] * b) < n).astype(
+        jnp.float32).reshape(stacks.shape[0], b, 1, 1)
 
     @jax.jit
     def probe(state):
         def body(_, xb):
             return None, jnp.argmax(fwd(state, xb), -1).astype(jnp.int32)
-        _, preds = jax.lax.scan(body, None, stacks)
-        counts = jnp.sum(jax.nn.one_hot(preds.reshape(-1), nc,
-                                        dtype=jnp.float32), axis=0)
+        _, preds = jax.lax.scan(body, None, stacks)   # [nb, b, H, W]
+        oh = jax.nn.one_hot(preds, nc, dtype=jnp.float32)
+        counts = jnp.sum(oh * valid[..., None], axis=(0, 1, 2, 3))
         return counts / jnp.sum(counts)
 
     return probe

@@ -129,6 +129,15 @@ def prune(ckpt_dir: str, keep: int = 3, protect=()) -> None:
             shutil.rmtree(path, ignore_errors=True)
         elif os.path.exists(path + ".npz"):
             os.remove(path + ".npz")
+        # stale ".orbax-checkpoint-tmp" dirs (a crashed run's in-flight save)
+        # count toward the inventory above but are unrestorable; once their
+        # step is pruned, delete them too or they pin a keep slot forever.
+        # Safe without a barrier: an in-flight save is at most the NEWEST
+        # step (AsyncCheckpointer serializes), which is never pruned.
+        prefix = f"step_{s:08d}.orbax-checkpoint-tmp"
+        for n in os.listdir(ckpt_dir):
+            if n.startswith(prefix):
+                shutil.rmtree(os.path.join(ckpt_dir, n), ignore_errors=True)
 
 
 def latest_step(ckpt_dir: str) -> int | None:

@@ -79,8 +79,13 @@ def test_custom_vjp_grads_match_xla():
 
 
 def test_fused_eval_matches_reference_forward(tiny_config):
-    """Whole-net fused inference == standard eval forward."""
-    cfg = tiny_config.segmenter
+    """Whole-net fused inference == standard eval forward.
+
+    Reference uses thin_layout='nhwc': the fused-eval path is NHWC math,
+    and the s2d default differs from it by float reassociation (~5e-4 at
+    the logits) — s2d-vs-nhwc parity has its own test (test_s2d.py)."""
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config.segmenter, thin_layout="nhwc")
     params, state = segmenter.init(jax.random.key(0), cfg)
     x = _rand(9, (2, 32, 32, 3))
     ref_logits, ref_probs, _, _ = segmenter.apply(params, state, x, cfg,
@@ -99,7 +104,8 @@ def test_fused_eval_matches_reference_forward(tiny_config):
 
 
 def test_fused_eval_with_dam(tiny_config):
-    cfg = tiny_config.segmenter
+    import dataclasses
+    cfg = dataclasses.replace(tiny_config.segmenter, thin_layout="nhwc")
     params, state = segmenter.init(jax.random.key(0), cfg)
     dam = segmenter.dam_init_from_source(params, cfg, "rm2")
     dam = jax.tree.map(lambda p: p + 0.05, dam)
@@ -172,3 +178,28 @@ def test_warp_affine_banded_matches_oracle():
     with pltpu.force_tpu_interpret_mode():
         out = warp.warp_affine(imgs, coefs, max_band=band)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
+
+
+def test_warp_band_bound_covers_worst_case_sweep():
+    """ADVICE r2 (medium): band_bound's slack must absorb the kernel's
+    band-start sublane alignment (up to ~8 rows) plus the tri support at MAX
+    rotation / MIN zoom — the shipped +4 silently dropped taps.  Sweep shifts
+    so the band start lands at every alignment phase."""
+    from mcmda_tpu.kernels import warp
+    H = W = 64
+    rot, zmin = np.deg2rad(15.0), 0.9
+    band = warp.band_bound(H, W, 8, rot, zmin)
+    assert band < H  # must exercise the banded path
+    img = _rand(7, (1, H, W, 4))
+    for theta in (rot, -rot):
+        for sy in np.linspace(-10.0, 10.0, 9):
+            coefs = jax.vmap(lambda t, z, a, b, f: warp.affine_coefs(
+                t, z, a, b, f, H, W))(
+                jnp.asarray([theta]), jnp.asarray([zmin]),
+                jnp.asarray([float(sy)]), jnp.asarray([2.5]),
+                jnp.asarray([False]))
+            ref = warp.warp_affine_reference(img, coefs)
+            with pltpu.force_tpu_interpret_mode():
+                out = warp.warp_affine(img, coefs, max_band=band)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=0.02)

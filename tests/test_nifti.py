@@ -150,3 +150,39 @@ def test_random_byte_fuzz_never_segfaults(tmp_path):
             volumes.load_nifti(p)
         except ValueError:
             pass
+
+
+def test_qform_spacing_used_when_no_sform(tmp_path):
+    """qform_code>0, sform_code=0 (scanner-native): spacing comes from the
+    quaternion affine's column norms — for a pure rotation x diag(pixdim)
+    that equals |pixdim| including qfac=-1 (ADVICE r2)."""
+    hdr = bytearray(_hdr1((6, 5, 4), pixdim=(1.5, 2.0, 2.5)))
+    struct.pack_into("<f", hdr, 76, -1.0)  # pixdim[0] = qfac = -1
+    struct.pack_into("<h", hdr, 252, 1)    # qform_code
+    s = np.sin(np.pi / 8)
+    struct.pack_into("<3f", hdr, 256, 0.0, 0.0, s)  # rotation about z
+    p = tmp_path / "q.nii"
+    _write(p, bytes(hdr) + b"\x00" * 4 + _body(DATA))
+    data, zooms = volumes.load_nifti(str(p))
+    np.testing.assert_allclose(zooms, [1.5, 2.0, 2.5], rtol=1e-5)
+    np.testing.assert_allclose(data, DATA, rtol=1e-6)
+
+
+def test_qform_nonfinite_quat_falls_back_to_pixdim(tmp_path):
+    hdr = bytearray(_hdr1((6, 5, 4), pixdim=(1.0, 1.0, 3.0)))
+    struct.pack_into("<h", hdr, 252, 1)
+    struct.pack_into("<3f", hdr, 256, np.nan, 0.0, 0.0)
+    p = tmp_path / "qbad.nii"
+    _write(p, bytes(hdr) + b"\x00" * 4 + _body(DATA))
+    _, zooms = volumes.load_nifti(str(p))
+    np.testing.assert_allclose(zooms, [1.0, 1.0, 3.0])
+
+
+def test_scl_slope_applied_with_nan_inter(tmp_path):
+    """NIfTI convention (nibabel parity): non-finite scl_inter means 0 — the
+    slope must still be applied (ADVICE r2)."""
+    p = tmp_path / "scl.nii"
+    _write(p, _hdr1((6, 5, 4), scl=(2.5, np.nan))
+           + b"\x00" * 4 + _body(DATA))
+    data, _ = volumes.load_nifti(str(p))
+    np.testing.assert_allclose(data, DATA * 2.5, rtol=1e-6)

@@ -395,3 +395,42 @@ def test_bf16_compute_path(tiny_config):
     a_step = jax.jit(adapt.make_adapt_step(cfg16, augment=False))
     _, am = a_step(a_state, a_batch, jax.random.key(2))
     assert np.isfinite(float(am["d_loss"])) and np.isfinite(float(am["g_loss"]))
+
+
+def test_probe_masks_padding_rows(tiny_config):
+    """ADVICE r2: padded probe rows (repeats of the last slice) must not
+    count toward the predicted class fractions — probing N slices and
+    probing the same N with padding must agree exactly."""
+    cfg = tiny_config
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    b = cfg.data.batch_size
+    imgs = np.asarray(_batch(cfg, 3, "ct")["image"])  # [B,H,W,ctx]
+    n = b + 1  # forces (2*b - n) padded rows
+    stacked = np.concatenate([imgs, imgs[:1]], 0)[:n]
+    probe = adapt.make_class_ratio_probe(cfg, stacked)
+    got = np.asarray(probe(state))
+    fwd = adapt.adapted_forward(cfg)
+    preds = np.asarray(jnp.argmax(fwd(state, jnp.asarray(stacked)), -1))
+    want = np.bincount(preds.reshape(-1), minlength=5) / preds.size
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_prune_removes_stale_tmp_dirs(tmp_path, tiny_config):
+    """ADVICE r2: a crashed run's .orbax-checkpoint-tmp dir counts toward the
+    inventory; once its step is pruned the tmp dir must go too, or it pins a
+    keep slot forever."""
+    import os
+    import jax as _jax
+    from mcmda_tpu.train import source as src_mod
+    from mcmda_tpu.utils import checkpoint as ck
+    st = src_mod.init_state(_jax.random.key(0), tiny_config)
+    for s in (5, 10, 15):
+        ck.save(str(tmp_path), st, step=s)
+    ck.wait_pending()
+    stale = tmp_path / "step_00000005.orbax-checkpoint-tmp-1234"
+    stale.mkdir()
+    ck.prune(str(tmp_path), keep=2)
+    assert not stale.exists()
+    names = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
+    assert names == ["step_00000010", "step_00000015"]
