@@ -536,10 +536,18 @@ def cmd_evaluate(args):
         else:
             fwd = jax.jit(lambda img: adapt.adapted_forward(
                 cfg, use_avg=use_avg)(state, img))
+    from mcmda_tpu.evaluation import postprocess as pp_mod
+    pp = pp_mod.get(args.postprocess if args.postprocess is not None
+                    else cfg.run.eval_postprocess)
     agg = report.evaluate_volumes(fwd, test_vols, test_labs,
                                   context=cfg.data.context_slices,
                                   batch_size=cfg.data.batch_size,
-                                  structures=splits.STRUCTURES)
+                                  structures=splits.STRUCTURES,
+                                  postprocess=pp)
+    if pp is not None:
+        print("raw predictions:")
+        print(report.format_table(agg["raw"]))
+        print("largest-connected-component filtered:")
     print(report.format_table(agg))
     if args.json_out:
         with open(args.json_out, "w") as f:
@@ -599,6 +607,11 @@ def build_parser():
                     choices=["auto", "live", "avg"],
                     help="adapted eval weights: EMA-averaged DAM (avg), the "
                          "live DAM (live), or avg iff adapt.dam_ema>0 (auto)")
+    sp.add_argument("--postprocess", default=None, choices=["none", "cc"],
+                    help="3D prediction post-processing: largest-connected-"
+                         "component per structure (cc, the benchmark "
+                         "lineage's practice) or none; default "
+                         "run.eval_postprocess")
     sp.set_defaults(fn=cmd_evaluate)
     return p
 

@@ -223,6 +223,11 @@ class RunConfig:
     use_pallas: bool = False
     donate: bool = True
     debug_nans: bool = False  # dev-mode jax_debug_nans (SURVEY section 5)
+    # 3D eval post-processing: "cc" keeps each structure's largest connected
+    # component (the benchmark lineage's reported-number practice — kills
+    # distant false-positive islands that blow up ASSD), "none" reports raw
+    # predictions.  evaluate --postprocess overrides.
+    eval_postprocess: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,40 +12,26 @@ from mcmda_tpu.data.splits import STRUCTURES
 from mcmda_tpu.evaluation import inference, metrics3d
 
 
-def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
-                     labels: Sequence[np.ndarray], *, context: int = 3,
-                     batch_size: int = 8, spacing=None,
-                     structures: dict = STRUCTURES,
-                     single_dispatch: bool = True,
-                     fwd_args: tuple = ()) -> dict:
-    """Evaluate a forward fn over test volumes -> aggregated metric table.
-
-    ``spacing``: None (voxel units), one [3] spacing for all volumes, or a
-    per-volume sequence of spacings (mm-correct ASD, E2).
+def _metrics_one(pred, lab, structures, sp):
+    """Per-structure metrics for one volume, with total-miss ASSD penalty.
 
     Structures the model misses entirely (empty prediction, non-empty truth)
     have infinite ASSD; silently dropping them would optimistically bias the
     mean exactly for the worst predictions, so each miss instead contributes
     the volume diagonal (the worst finite surface distance possible in that
-    volume) and the per-structure ``assd_misses`` count is reported."""
-    per_vol = []
-    for i, (vol, lab) in enumerate(zip(volumes, labels)):
-        sp = spacing
-        if sp is not None and np.ndim(sp) > 1:
-            sp = spacing[i]
-        pred = inference.predict_volume(forward, vol, context=context,
-                                        batch_size=batch_size,
-                                        single_dispatch=single_dispatch,
-                                        fwd_args=fwd_args)
-        pv = metrics3d.per_structure(pred, lab, structures, sp)
-        diag = float(np.linalg.norm(
-            np.asarray(vol.shape, np.float64)
-            * (np.ones(3) if sp is None else np.asarray(sp, np.float64))))
-        for name in structures.values():
-            pv[name]["assd_miss"] = bool(np.isinf(pv[name]["assd"]))
-            if pv[name]["assd_miss"]:
-                pv[name]["assd"] = diag
-        per_vol.append(pv)
+    volume) and is counted in ``assd_misses``."""
+    pv = metrics3d.per_structure(pred, lab, structures, sp)
+    diag = float(np.linalg.norm(
+        np.asarray(lab.shape, np.float64)
+        * (np.ones(3) if sp is None else np.asarray(sp, np.float64))))
+    for name in structures.values():
+        pv[name]["assd_miss"] = bool(np.isinf(pv[name]["assd"]))
+        if pv[name]["assd_miss"]:
+            pv[name]["assd"] = diag
+    return pv
+
+
+def _aggregate(per_vol, structures):
     agg = {}
     for name in structures.values():
         dices = [pv[name]["dice"] for pv in per_vol]
@@ -65,8 +51,45 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
     return agg
 
 
+def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
+                     labels: Sequence[np.ndarray], *, context: int = 3,
+                     batch_size: int = 8, spacing=None,
+                     structures: dict = STRUCTURES,
+                     single_dispatch: bool = True,
+                     fwd_args: tuple = (),
+                     postprocess: Callable | None = None) -> dict:
+    """Evaluate a forward fn over test volumes -> aggregated metric table.
+
+    ``spacing``: None (voxel units), one [3] spacing for all volumes, or a
+    per-volume sequence of spacings (mm-correct ASD, E2).
+
+    ``postprocess``: optional ``(pred_vol, structures) -> pred_vol`` filter
+    (e.g. ``postprocess.largest_components``) applied to each predicted
+    volume before metrics.  The returned table is then for the FILTERED
+    predictions, with the unfiltered table preserved under ``agg["raw"]`` —
+    both come from a single inference pass per volume.
+    """
+    per_vol, per_vol_raw = [], []
+    for i, (vol, lab) in enumerate(zip(volumes, labels)):
+        sp = spacing
+        if sp is not None and np.ndim(sp) > 1:
+            sp = spacing[i]
+        pred = inference.predict_volume(forward, vol, context=context,
+                                        batch_size=batch_size,
+                                        single_dispatch=single_dispatch,
+                                        fwd_args=fwd_args)
+        if postprocess is not None:
+            per_vol_raw.append(_metrics_one(pred, lab, structures, sp))
+            pred = postprocess(pred, structures)
+        per_vol.append(_metrics_one(pred, lab, structures, sp))
+    agg = _aggregate(per_vol, structures)
+    if postprocess is not None:
+        agg["raw"] = _aggregate(per_vol_raw, structures)
+    return agg
+
+
 def format_table(agg: dict) -> str:
-    names = [n for n in agg if n != "mean"] + ["mean"]
+    names = [n for n in agg if n not in ("mean", "raw")] + ["mean"]
     lines = [f"{'structure':>10} {'Dice':>8} {'ASSD':>8} {'miss':>5}"]
     for n in names:
         miss = agg[n].get("assd_misses", 0)

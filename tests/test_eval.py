@@ -80,3 +80,85 @@ def test_config_json_roundtrip(tiny_config):
     assert back.segmenter.stages == tiny_config.segmenter.stages
     assert back.adapt.plug_depth == tiny_config.adapt.plug_depth
     assert back.critic.taps == tiny_config.critic.taps
+
+
+def test_lcc_postprocess_removes_far_island():
+    """A distant false-positive island must vanish under --postprocess cc,
+    collapsing the island-driven ASSD while leaving Dice ~unchanged
+    (VERDICT r2 item 4: the benchmark lineage's standard filter)."""
+    from mcmda_tpu.evaluation import postprocess
+
+    truth = np.zeros((24, 48, 48), np.int32)
+    truth[8:16, 16:28, 16:28] = 1          # one solid structure
+    pred = truth.copy()
+    pred[20:22, 44:46, 44:46] = 1          # planted far island (8 voxels)
+    pred[2, 2, 2] = 2                      # class-2 speck with empty truth
+
+    structures = {1: "AA", 2: "LAC"}
+    out = postprocess.largest_components(pred, structures)
+    # island gone, main body intact, other-class speck untouched (it IS its
+    # class's largest component)
+    assert not out[20:22, 44:46, 44:46].any()
+    np.testing.assert_array_equal(out == 1, truth == 1)
+    assert out[2, 2, 2] == 2
+
+    from mcmda_tpu.evaluation import metrics3d
+    # the island contributes ~35-voxel distances from its 8 voxels; averaged
+    # over ~800 surface voxels that's a small-but-nonzero ASSD, and exactly 0
+    # after filtering
+    assert metrics3d.assd(pred == 1, truth == 1) > 0.1
+    assert metrics3d.assd(out == 1, truth == 1) == 0.0
+
+
+def test_lcc_connectivity_modes():
+    from mcmda_tpu.evaluation import postprocess
+
+    m = np.zeros((1, 5, 5), bool)
+    m[0, 0, 0] = True
+    m[0, 1, 1] = True  # corner-touching voxel
+    m[0, 3, 3] = True
+    m[0, 3, 4] = True  # face-touching pair elsewhere
+    # 26-connectivity: {0,0 + 1,1} is one 2-voxel component; tie broken by
+    # first label — just assert sizes survive correctly under both modes
+    keep26 = postprocess.largest_component(m, connectivity=3)
+    assert keep26.sum() == 2
+    keep6 = postprocess.largest_component(m, connectivity=1)
+    assert keep6.sum() == 2 and keep6[0, 3, 3] and keep6[0, 3, 4]
+
+
+def test_evaluate_volumes_postprocess_reports_both(tiny_config):
+    """evaluate_volumes(postprocess=...) returns the filtered table with the
+    raw table preserved under agg['raw'] — one inference pass."""
+    from mcmda_tpu.evaluation import postprocess
+
+    lab = np.zeros((6, 32, 32), np.int32)
+    lab[2:5, 8:20, 8:20] = 1
+    pred_vol = lab.copy()
+    pred_vol[0, 30:32, 30:32] = 1  # island in a slice far from the body
+    lookup = {}
+    for i in range(6):
+        oh = jax.nn.one_hot(pred_vol[i], 5)
+        lookup[i] = oh
+    calls = []
+
+    def fwd(images):
+        # images [B,H,W,C]; middle channel = the slice; recover index by
+        # matching against the volume (test-sized, exact float match)
+        outs = []
+        mid = images.shape[-1] // 2
+        for b in range(images.shape[0]):
+            sl = np.asarray(images[..., mid][b])
+            idx = next((i for i in range(6)
+                        if np.allclose(sl, _vol[i], atol=1e-5)), 0)
+            calls.append(idx)
+            outs.append(lookup[idx])
+        return jnp.stack(outs)
+
+    _vol = (pred_vol.astype(np.float32) - pred_vol.mean()) / (
+        pred_vol.std() + 1e-6)
+    agg = report.evaluate_volumes(fwd, [_vol], [lab], context=3, batch_size=3,
+                                  structures={1: "AA"}, single_dispatch=False,
+                                  postprocess=postprocess.largest_components)
+    assert agg["raw"]["AA"]["assd"] > agg["AA"]["assd"]
+    assert agg["AA"]["assd"] == 0.0
+    assert agg["AA"]["dice"] == 1.0
