@@ -18,6 +18,14 @@ previous one, so nothing can be hoisted or elided — and the clock stops on a
 host READBACK of the last step's output.  Through the axon tunnel,
 block_until_ready alone returns early and reports absurd numbers.
 
+Every latency is MARGINAL over two chain lengths (e.g. K=20 vs K=60): the
+difference cancels the fixed per-dispatch cost — measured ~33 ms of tunnel
+round-trip + readback on the axon setup, which would otherwise inflate a
+~16 ms train step by ~1.7 ms at K=20 and a ~23 ms serving volume by ~33 ms.
+Production runs amortize exactly the same way (the CLI fuses ~50 steps per
+dispatch; r1/r2 figures were raw K=20 and are ~10% pessimistic vs this).
+The fixed cost itself is reported as ``dispatch_floor_ms``.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
@@ -28,67 +36,154 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Reference denominator: measured by scripts/measure_reference_baseline.py
-# (torch-CPU reimplementation of the reference's TF1 training step on the same
-# model/shapes; see BASELINE.md "measured" section).
-REFERENCE_SLICES_PER_SEC = 0.207
+def _reference_baseline() -> float:
+    """Reference denominator, slices/s: read from the measured artifact
+    (scripts/measure_reference_baseline.py writes
+    results/reference_baseline.json — a torch-CPU reimplementation of the
+    reference's TF1 training step on the same model/shapes; BASELINE.md
+    "measured" section).  The constant fallback is that script's recorded
+    r1 measurement, used only when the artifact is absent."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results", "reference_baseline.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["slices_per_sec"])
+    except (OSError, KeyError, ValueError):
+        return 0.207
 
 
-def _flops_of(compiled) -> float:
+def _cost_of(compiled):
+    """(flops, bytes_accessed) per invocation from XLA's compiled cost
+    analysis.  'bytes accessed' is the compiler's own HBM traffic estimate
+    for the optimized HLO — the numerator of the bandwidth roofline."""
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    return float(ca.get("flops", 0.0)) if ca else 0.0
+    if not ca:
+        return 0.0, 0.0
+    return (float(ca.get("flops", 0.0)),
+            float(ca.get("bytes accessed", 0.0)))
 
 
-def _timed_scan(step_fn, state, batch, K: int = 20, reps: int = 3,
-                metric_key=None):
-    """Best per-step latency of a K-step feedback-chained scan, with host
-    readback as the completion barrier.  Returns (sec/step, flops/step)."""
-    def run_k(state, batch, rng):
-        def body(st, k):
-            st, m = step_fn(st, batch, jax.random.fold_in(rng, k))
-            out = m[metric_key] if metric_key else jax.tree.leaves(m)[0]
-            return st, out
-        return jax.lax.scan(body, state, jnp.arange(K))
+def _flops_of(compiled) -> float:
+    return _cost_of(compiled)[0]
 
-    run_j = jax.jit(run_k, donate_argnums=(0,))
-    flops = _flops_of(run_j.lower(state, batch, jax.random.key(4)).compile())
-    state, out = run_j(state, batch, jax.random.key(4))  # warm
-    _ = float(out[-1])
-    best = float("inf")
-    for rep in range(reps):
-        t0 = time.perf_counter()
-        state, out = run_j(state, batch,
-                           jax.random.fold_in(jax.random.key(5), rep))
-        _ = float(out[-1])  # host readback = true completion barrier
-        best = min(best, (time.perf_counter() - t0) / K)
-    return best, flops / K
+
+_FLOOR_SAMPLES = []
+
+
+def _marginal(time_at_k, k1: int, k2: int):
+    """Marginal per-unit latency between two chain lengths: cancels the
+    fixed per-dispatch cost (tunnel round-trip + readback).  Records the
+    implied fixed cost for the ``dispatch_floor_ms`` diagnostic."""
+    t1, t2 = time_at_k(k1), time_at_k(k2)
+    per = (t2 - t1) / (k2 - k1)
+    _FLOOR_SAMPLES.append(max(0.0, t1 - k1 * per))
+    return per
+
+
+def _timed_scan(step_fn, state, batch, K1: int = 20, K2: int = 60,
+                reps: int = 3, metric_key=None):
+    """Marginal per-step latency of feedback-chained scans at two lengths,
+    with host readback as the completion barrier.
+    Returns (sec/step, flops/step, hbm_bytes/step)."""
+    cost = {}
+
+    def time_at_k(K):
+        def run_k(state, batch, rng):
+            def body(st, k):
+                st, m = step_fn(st, batch, jax.random.fold_in(rng, k))
+                out = m[metric_key] if metric_key else jax.tree.leaves(m)[0]
+                return st, out
+            return jax.lax.scan(body, state, jnp.arange(K))
+
+        run_j = jax.jit(run_k, donate_argnums=(0,))
+        if K not in cost:
+            cost[K] = _cost_of(
+                run_j.lower(state, batch, jax.random.key(4)).compile())
+        # run on a COPY: run_j donates arg 0, and the pristine ``state``
+        # must survive for the second chain length
+        st, out = run_j(jax.tree.map(jnp.copy, state), batch,
+                        jax.random.key(4))  # warm
+        _ = float(out[-1])
+        best = float("inf")
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            st, out = run_j(st, batch,
+                            jax.random.fold_in(jax.random.key(5), rep))
+            _ = float(out[-1])  # host readback = true completion barrier
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = _marginal(time_at_k, K1, K2)
+    flops, hbm_bytes = cost[K1]
+    return per, flops / K1, hbm_bytes / K1
 
 
 def _measure_peak_tflops() -> float:
-    """Feedback-chained bf16 4096^3 matmul chain: measured MXU peak.
-    Inputs scaled to unit output variance so the chain stays finite with no
-    per-step normalization polluting the measurement."""
-    n, K = 4096, 32
+    """Feedback-chained bf16 4096^3 matmul chain: measured MXU peak
+    (marginal over two chain lengths).  Inputs scaled to unit output
+    variance so the chain stays finite with no per-step normalization
+    polluting the measurement."""
+    n = 4096
     a = jax.random.normal(jax.random.key(0), (n, n),
                           jnp.float32) * (n ** -0.5)
     a = a.astype(jnp.bfloat16)
 
-    def chain(a):
-        def body(x, _):
-            return (x @ x).astype(jnp.bfloat16), ()
-        x, _ = jax.lax.scan(body, a, None, length=K)
-        return x.astype(jnp.float32).sum()
+    def time_at_k(K):
+        def chain(a):
+            def body(x, _):
+                return (x @ x).astype(jnp.bfloat16), ()
+            x, _ = jax.lax.scan(body, a, None, length=K)
+            return x.astype(jnp.float32).sum()
 
-    f = jax.jit(chain)
-    _ = float(f(a))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = float(f(a))
-        best = min(best, time.perf_counter() - t0)
-    return (2 * n ** 3 * K) / best / 1e12
+        f = jax.jit(chain, static_argnums=())
+        _ = float(f(a))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(f(a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = _marginal(time_at_k, 32, 96)
+    return (2 * n ** 3) / per / 1e12
+
+
+def _measure_hbm_gbps() -> float:
+    """Measured achievable HBM bandwidth: feedback-chained elementwise
+    multiply-add over a 256 MB f32 array (reads + writes 512 MB per link of
+    the chain; the carry dependency stops XLA from fusing links together),
+    marginal over two chain lengths.  This is the denominator of
+    ``hbm_bw_utilization`` — measured on the same chip/tunnel as the step
+    timings, like the matmul peak.  (Raw single-length timing measured only
+    ~200 GB/s here: the ~33 ms dispatch floor ate 40% of a 16-link chain.)"""
+    m = 8192  # 256 MB of f32
+
+    def time_at_k(K):
+        x = jnp.ones((m, m), jnp.float32)
+
+        def chain(x):
+            def body(x, _):
+                return x * 1.0000001 + 1e-12, ()
+            x, _ = jax.lax.scan(body, x, None, length=K)
+            return x
+
+        f = jax.jit(chain, donate_argnums=(0,))
+        x = f(x)
+        _ = float(x[-1, -1])  # warm + barrier
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = f(x)
+            _ = float(x[-1, -1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # wide K spread: the two-point fit divides timing noise by (k2 - k1)
+    per = _marginal(time_at_k, 16, 112)
+    return (2 * 4 * m * m) / per / 1e9
 
 
 def main():
@@ -116,8 +211,8 @@ def main():
         "src_image": jax.random.normal(jax.random.key(2), (b, 256, 256, 3)),
         "tgt_image": jax.random.normal(jax.random.key(3), (b, 256, 256, 3)),
     }
-    a_dt, a_flops = _timed_scan(adapt.make_adapt_step(cfg), a_state, a_batch,
-                                metric_key="g_loss")
+    a_dt, a_flops, a_bytes = _timed_scan(adapt.make_adapt_step(cfg), a_state,
+                                         a_batch, metric_key="g_loss")
     adapt_sps = b / a_dt
 
     # ---- source train step ----
@@ -125,8 +220,8 @@ def main():
     lab = jax.nn.one_hot(
         jax.random.randint(jax.random.key(7), (b, 256, 256), 0, 5), 5)
     s_batch = {"image": a_batch["src_image"], "label": lab}
-    s_dt, s_flops = _timed_scan(source.make_train_step(cfg), s_state, s_batch,
-                                metric_key="loss")
+    s_dt, s_flops, s_bytes = _timed_scan(source.make_train_step(cfg), s_state,
+                                         s_batch, metric_key="loss")
     source_sps = b / s_dt
 
     # ---- serving: 64-slice volume, single scanned dispatch ----
@@ -146,18 +241,39 @@ def main():
     k = stacked.shape[0] // b
     stacks = jax.device_put(jnp.asarray(
         stacked.reshape((k, b) + stacked.shape[1:])))
-    run = inference._scanned_argmax(fwd, (k,) + stacks.shape[1:])
-    _ = np.asarray(run(stacks, src_params, src_bn))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        # completion barrier: 8-byte readback of a device-side reduction —
-        # forces the full scan without paying the tunnel for the 16 MB
-        # prediction volume (that transfer is PCIe on a real TPU VM and is
-        # covered by the e2e figure below)
-        _ = int(jnp.sum(run(stacks, src_params, src_bn)))
-        best = min(best, time.perf_counter() - t0)
-    serve_dt = best
+    def _serve_marginal(fwd_fn):
+        """Marginal seconds per volume: ONE dispatch scanning C full-volume
+        inference passes (each pass feedback-perturbed by the previous sum
+        so no pass can be elided), timed at two C values — the per-volume
+        difference cancels the tunnel round-trip.  The barrier is an 8-byte
+        readback of a device-side reduction, not the 16 MB prediction
+        volume (that transfer is PCIe on a real TPU VM and is covered by
+        the e2e figure below)."""
+        def time_at_c(C):
+            def many(stacks, params, bn):
+                def body(carry, _):
+                    # carry-dependent input: serializes passes, changes
+                    # nothing numerically relevant (argmax of probs)
+                    x = stacks + carry * jnp.float32(1e-12)
+                    def vol_body(_, xb):
+                        return None, jnp.argmax(
+                            fwd_fn(xb, params, bn), -1).astype(jnp.int32)
+                    _, preds = jax.lax.scan(vol_body, None, x)
+                    return jnp.sum(preds).astype(jnp.float32), None
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=C)
+                return s
+            f = jax.jit(many)
+            _ = float(f(stacks, src_params, src_bn))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = float(f(stacks, src_params, src_bn))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return _marginal(time_at_c, 2, 6) / 1.0
+
+    serve_dt = _serve_marginal(fwd)
     serve_sps = vol.shape[0] / serve_dt
 
     # bf16 serving variant: eval-only precision is safe (probs within 0.02
@@ -172,44 +288,51 @@ def main():
                                          train=False)
         return probs
 
-    run16 = inference._scanned_argmax(fwd16, (k,) + stacks.shape[1:])
-    _ = np.asarray(run16(stacks, src_params, src_bn))
-    best16 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = int(jnp.sum(run16(stacks, src_params, src_bn)))
-        best16 = min(best16, time.perf_counter() - t0)
-    serve16_sps = vol.shape[0] / best16
+    serve16_sps = vol.shape[0] / _serve_marginal(fwd16)
     # e2e including host->device volume upload (tunnel-dominated here)
     t0 = time.perf_counter()
     _ = inference.predict_volume(fwd, vol, context=cfg.data.context_slices,
                                  batch_size=b, fwd_args=(src_params, src_bn))
     serve_e2e_dt = time.perf_counter() - t0
 
-    # ---- MFU ----
+    # ---- rooflines: compute (MFU) AND bandwidth (the one that binds) ----
     peak = _measure_peak_tflops()
+    hbm_gbps = _measure_hbm_gbps()
     a_tflops = a_flops / a_dt / 1e12
     s_tflops = s_flops / s_dt / 1e12
+    a_gbps = a_bytes / a_dt / 1e9
+    s_gbps = s_bytes / s_dt / 1e9
 
     print(json.dumps({
         "metric": "adapt_train_slices_per_sec_per_chip",
         "value": round(adapt_sps, 2),
         "unit": "slices/s/chip",
-        "vs_baseline": round(adapt_sps / REFERENCE_SLICES_PER_SEC, 2),
+        "vs_baseline": round(adapt_sps / _reference_baseline(), 2),
         "extra": {
             "adapt_step_ms": round(a_dt * 1e3, 2),
             "adapt_flops_per_step": a_flops,
             "adapt_tflops_per_sec": round(a_tflops, 2),
             "adapt_mfu_vs_measured_peak": round(a_tflops / peak, 4),
+            "adapt_hbm_bytes_per_step": a_bytes,
+            "adapt_hbm_gbps": round(a_gbps, 1),
+            "adapt_hbm_bw_utilization": round(a_gbps / hbm_gbps, 4),
             "source_train_slices_per_sec": round(source_sps, 2),
             "source_step_ms": round(s_dt * 1e3, 2),
             "source_tflops_per_sec": round(s_tflops, 2),
             "source_mfu_vs_measured_peak": round(s_tflops / peak, 4),
+            "source_hbm_bytes_per_step": s_bytes,
+            "source_hbm_bw_utilization": round(s_gbps / hbm_gbps, 4),
             "serving_slices_per_sec": round(serve_sps, 2),
             "serving_bf16_slices_per_sec": round(serve16_sps, 2),
             "serving_volume_ms": round(serve_dt * 1e3, 2),
             "serving_e2e_volume_ms": round(serve_e2e_dt * 1e3, 2),
             "measured_peak_tflops": round(peak, 1),
+            "measured_hbm_gbps": round(hbm_gbps, 1),
+            # fixed per-dispatch cost the marginal timings cancel (median
+            # over all two-point fits; mostly tunnel round-trip + readback)
+            "dispatch_floor_ms": round(
+                1e3 * float(np.median(_FLOOR_SAMPLES)), 1)
+            if _FLOOR_SAMPLES else None,
         },
     }))
 

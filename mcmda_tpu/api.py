@@ -20,7 +20,8 @@ import numpy as np
 from mcmda_tpu.config import ExperimentConfig
 from mcmda_tpu.data import pipeline, volumes as vio
 from mcmda_tpu.evaluation import report
-from mcmda_tpu.train import adapt as adapt_mod, loop, source as source_mod
+from mcmda_tpu.train import adapt as adapt_mod, drivers, loop, \
+    source as source_mod
 from mcmda_tpu.utils import checkpoint as ckpt, logging as mlog
 
 
@@ -31,31 +32,57 @@ def load_config(path: str | None = None) -> ExperimentConfig:
         return ExperimentConfig.from_json(f.read())
 
 
-def _std_feed(ds, cfg, seed, with_labels):
-    sampler = iter(pipeline.BatchSampler(
-        ds, cfg.data.batch_size, seed=seed,
-        num_classes=cfg.data.num_classes if with_labels else None))
-    return pipeline.prefetch_to_device(sampler)
+# Device-resident cutoff, shared with the CLI: datasets under 1 GB live in
+# HBM and batches gather on device inside the jitted step (zero per-step
+# host transfer); larger ones stream through a host sampler + prefetch.
+_ON_DEVICE_BYTES = 1 << 30
 
 
 def train_source(cfg: ExperimentConfig, volumes: Sequence[np.ndarray],
                  labels: Sequence[np.ndarray], *, out_dir: str | None = None,
-                 steps: int | None = None) -> source_mod.SourceState:
-    """Config 2: supervised source training. Returns the trained state."""
+                 steps: int | None = None,
+                 dp: int = 0) -> source_mod.SourceState:
+    """Config 2: supervised source training. Returns the trained state.
+
+    ``dp``: data-parallel over N devices — identical execution to the CLI's
+    ``--dp N`` (same drivers.wrap_dp / device_resident_dp plumbing; under an
+    initialized multi-process world the pod mesh is used automatically)."""
+    import itertools
     ds = vio.volumes_to_slices(volumes, labels,
                                context=cfg.data.context_slices,
                                drop_empty=True)
     state = source_mod.init_state(jax.random.key(cfg.run.seed), cfg)
     state, start = loop.maybe_resume(out_dir, state)
-    step = jax.jit(source_mod.make_train_step(cfg))
+    n_steps = steps or cfg.source.steps
+    inner = 1
+    if ds.images.nbytes < _ON_DEVICE_BYTES:
+        inner = drivers.pick_inner(n_steps, cfg.run.log_every,
+                                   cfg.run.ckpt_every)
+        ds_loc = ds
+        if drivers.multihost_active():
+            from mcmda_tpu.parallel import multihost
+            ds_loc = multihost.shard_dataset(ds, jax.device_count())
+        dd = pipeline.to_device_arrays(ds_loc, cfg.data.num_classes,
+                                       sharding=drivers.batch_sharding_for(
+                                           dp))
+        step, device_data = drivers.device_resident_dp(
+            cfg, source_mod.make_train_step, dp, inner, lambda _shd: dd)
+        feed = itertools.repeat(device_data)
+    else:
+        step, global_batch, to_global = drivers.wrap_dp(
+            cfg, source_mod.make_train_step, dp)
+        sampler = iter(pipeline.BatchSampler(
+            ds, global_batch, seed=cfg.run.seed + 1,
+            num_classes=cfg.data.num_classes))
+        feed = to_global(sampler)
     logger = mlog.MetricsLogger(os.path.join(out_dir, "metrics.jsonl")
                                 if out_dir else None, echo=False)
-    state, _ = loop.run(step, state, _std_feed(ds, cfg, cfg.run.seed + 1,
-                                               True),
-                        steps or cfg.source.steps, seed=cfg.run.seed,
+    state, _ = loop.run(step, state, feed,
+                        n_steps, seed=cfg.run.seed,
                         log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every if out_dir else 0,
-                        ckpt_dir=out_dir, logger=logger, start_step=start)
+                        ckpt_dir=out_dir, logger=logger, start_step=start,
+                        inner_steps=inner)
     return state
 
 
@@ -63,8 +90,14 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
           src_volumes: Sequence[np.ndarray], src_labels,
           tgt_volumes: Sequence[np.ndarray], *, out_dir: str | None = None,
           steps: int | None = None,
-          pretrain_steps: int | None = None) -> adapt_mod.AdaptState:
-    """Configs 3+4: critic pretrain then PnP-AdaNet adaptation."""
+          pretrain_steps: int | None = None,
+          dp: int = 0) -> adapt_mod.AdaptState:
+    """Configs 3+4: critic pretrain then PnP-AdaNet adaptation.
+
+    ``dp``: data-parallel over N devices, with device-resident datasets when
+    they fit HBM — the CLI's ``--dp N`` execution, via the same
+    drivers plumbing."""
+    import itertools
     src_ds = vio.volumes_to_slices(src_volumes, src_labels,
                                    context=cfg.data.context_slices,
                                    drop_empty=True)
@@ -73,48 +106,94 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
     state = adapt_mod.init_state(jax.random.key(cfg.run.seed + 2), cfg,
                                  source_state.params, source_state.bn_state)
     state, start = loop.maybe_resume(out_dir, state)
-    s_it = iter(pipeline.BatchSampler(src_ds, cfg.data.batch_size,
-                                      seed=cfg.run.seed + 3))
-    t_it = iter(pipeline.BatchSampler(tgt_ds, cfg.data.batch_size,
-                                      seed=cfg.run.seed + 4))
-    pairs = ({"src_image": a["image"], "tgt_image": b["image"]}
-             for a, b in zip(s_it, t_it))
-    feed = pipeline.prefetch_to_device(pairs)
     logger = mlog.MetricsLogger(os.path.join(out_dir, "metrics.jsonl")
                                 if out_dir else None, echo=False)
     n_pre = (pretrain_steps if pretrain_steps is not None
              else cfg.adapt.pretrain_steps)
     n_adapt = steps or cfg.adapt.steps
+    # probe inputs are fixed BEFORE any sharding so selection is
+    # configuration-independent (matches the CLI)
+    probe_idx_early = np.linspace(0, len(tgt_ds) - 1,
+                                  min(64, len(tgt_ds))).astype(int)
+    probe_images = tgt_ds.images[probe_idx_early]
+
+    on_device = (src_ds.images.nbytes
+                 + tgt_ds.images.nbytes) < _ON_DEVICE_BYTES
+    sel_every = cfg.adapt.select_every or cfg.run.ckpt_every
+    sel_every = min(sel_every, max(1, n_adapt // 4))  # short runs
+    inner = drivers.pick_inner(n_pre, n_adapt, cfg.run.log_every,
+                               cfg.run.ckpt_every, sel_every) \
+        if on_device else 1
+
+    if on_device:
+        src_loc, tgt_loc = src_ds, tgt_ds
+        if drivers.multihost_active():
+            from mcmda_tpu.parallel import multihost
+            src_loc = multihost.shard_dataset(src_ds, jax.device_count())
+            tgt_loc = multihost.shard_dataset(tgt_ds, jax.device_count())
+        shd = drivers.batch_sharding_for(dp)
+        device_data = {
+            "src": pipeline.to_device_arrays(src_loc, sharding=shd),
+            "tgt": pipeline.to_device_arrays(tgt_loc, sharding=shd)}
+
+        def mk_step(**kw):
+            return drivers.device_resident_dp(
+                cfg, adapt_mod.make_adapt_step, dp, inner,
+                lambda _shd: device_data, **kw)[0]
+
+        def make_feed():
+            return itertools.repeat(device_data)
+    else:
+        def mk_step(**kw):
+            return drivers.wrap_dp(cfg, adapt_mod.make_adapt_step, dp,
+                                   **kw)[0]
+
+        _, per_host, to_global = drivers.wrap_dp(
+            cfg, adapt_mod.make_adapt_step, dp)
+        s_it = iter(pipeline.BatchSampler(src_ds, per_host,
+                                          seed=cfg.run.seed + 3))
+        t_it = iter(pipeline.BatchSampler(tgt_ds, per_host,
+                                          seed=cfg.run.seed + 4))
+
+        def make_feed():
+            pairs = ({"src_image": a["image"], "tgt_image": b["image"]}
+                     for a, b in zip(s_it, t_it))
+            return to_global(pairs)
+
     if n_pre and start < n_pre:
-        pre = jax.jit(adapt_mod.make_adapt_step(cfg, train_g=False))
-        state, _ = loop.run(pre, state, feed, n_pre, seed=cfg.run.seed + 5,
+        state, _ = loop.run(mk_step(train_g=False), state, make_feed(),
+                            n_pre, seed=cfg.run.seed + 5,
                             log_every=cfg.run.log_every, logger=logger,
-                            start_step=start)
+                            start_step=start, inner_steps=inner)
         start = n_pre
     # unsupervised checkpoint selection (class-ratio prior, docs/design.md
-    # section 5c) — same machinery as the CLI; fires at checkpoint intervals
+    # section 5c) — same machinery as the CLI; scores both the live DAM and
+    # (when weight averaging is on) the EMA average, selecting the better
     ref_fracs = adapt_mod.label_fractions(src_labels, cfg.data.num_classes)
-    probe_idx = np.linspace(0, len(tgt_ds) - 1,
-                            min(64, len(tgt_ds))).astype(int)
-    probe = adapt_mod.make_class_ratio_probe(cfg, tgt_ds.images[probe_idx])
+    probe = adapt_mod.make_class_ratio_probe(cfg, probe_images)
+    probe_avg = (adapt_mod.make_class_ratio_probe(cfg, probe_images,
+                                                  use_avg=True)
+                 if cfg.adapt.dam_ema > 0 else None)
     selector = adapt_mod.ClassRatioSelector(
         ref_fracs, warmup_step=adapt_mod.select_warmup(cfg))
     best_stash = {}
 
     def select_probe(step_i, st, _metrics=None):
         selector.update(step_i, np.asarray(probe(st)))
+        if probe_avg is not None:
+            selector.update(step_i, np.asarray(probe_avg(st)), variant="avg")
         if selector.best_step == step_i:
-            best_stash["dam_params"] = jax.device_get(st.dam_params)
-            best_stash["tgt_bn"] = jax.device_get(st.tgt_bn)
+            dam, bn = adapt_mod.eval_weights(
+                st, use_avg=selector.best_variant == "avg")
+            best_stash["dam_params"] = jax.device_get(dam)
+            best_stash["tgt_bn"] = jax.device_get(bn)
         selector.save(out_dir)
 
-    step = jax.jit(adapt_mod.make_adapt_step(cfg))
-    sel_every = cfg.adapt.select_every or cfg.run.ckpt_every
-    sel_every = min(sel_every, max(1, n_adapt // 4))  # short runs
-    state, _ = loop.run(step, state, feed, n_pre + n_adapt,
+    state, _ = loop.run(mk_step(), state, make_feed(), n_pre + n_adapt,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
                         ckpt_every=cfg.run.ckpt_every if out_dir else 0,
                         ckpt_dir=out_dir, logger=logger, start_step=start,
+                        inner_steps=inner,
                         probe_every=sel_every if out_dir else 0,
                         probe=select_probe if out_dir else None,
                         protect_steps=lambda: (
@@ -127,6 +206,11 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
                 dam_params=best_stash["dam_params"],
                 tgt_bn=best_stash["tgt_bn"],
                 step=np.asarray(selector.best_step, np.int32))
+            if sel_state.ema_w is not None:
+                # the stash holds the CHOSEN variant; zero the accumulator
+                # so eval never re-averages (see cli.cmd_adapt)
+                sel_state = sel_state.replace(
+                    ema_w=np.zeros((), np.float32))
             ckpt.save(out_dir, sel_state, step=selector.best_step,
                       block=True)
     return state

@@ -73,35 +73,13 @@ def _get_data(args, cfg, direction):
     return mmwhs.load_benchmark(args.data_root, direction)
 
 
-def _feed(sampler_pairs, prefetch=2, sharding=None):
-    from mcmda_tpu.data import pipeline
-    return pipeline.prefetch_to_device(sampler_pairs, prefetch, sharding)
-
-
-def _pick_inner(*counts, cap: int = 50) -> int:
-    """Largest dispatch-fusion factor <= cap dividing every phase length and
-    the logging grain (so scanned steps land exactly on boundaries)."""
-    import math
-    g = 0
-    for c in counts:
-        if c:
-            g = math.gcd(g, c)
-    if g <= 0:
-        return 1
-    for d in range(min(cap, g), 0, -1):
-        if g % d == 0:
-            return d
-    return 1
-
-
-def _multihost_active() -> bool:
-    import jax
-    return jax.process_count() > 1
-
-
-def _is_primary() -> bool:
-    import jax
-    return jax.process_index() == 0
+# execution-strategy plumbing shared with the library API (train/drivers.py)
+from mcmda_tpu.train.drivers import (  # noqa: E402
+    feed as _feed,
+    is_primary as _is_primary,
+    multihost_active as _multihost_active,
+    pick_inner as _pick_inner,
+)
 
 
 def _maybe_init_multihost(args) -> bool:
@@ -210,92 +188,21 @@ def _host_seed(seed: int) -> int:
 
 
 def _wrap_dp(cfg, make_step, args, **mk_kwargs):
-    """Returns (step_fn, per-host global batch size, feed transform).
-
-    Multi-host: the mesh spans every process's devices; each host samples
-    its per-host share of the global batch and ``multihost.global_batch``
-    assembles the global arrays; state/rng are replicated lazily on first
-    step; psum/pmean inside the step ride ICI (and DCN across slices).
-    """
-    import jax
-    if _multihost_active():
-        from mcmda_tpu.parallel import dp, multihost
-        mesh = multihost.global_mesh()
-        inner = dp.data_parallel_step(
-            make_step(cfg, axis_name=cfg.parallel.data_axis, **mk_kwargs),
-            mesh, donate=False)
-
-        def mh_step(state, batch, rng):
-            state = multihost.ensure_replicated(state, mesh)
-            rng = multihost.replicate(rng, mesh)
-            return inner(state, batch, rng)
-
-        per_host = cfg.data.batch_size * jax.local_device_count()
-
-        def to_global(stream):
-            return (multihost.global_batch(b, mesh) for b in stream)
-
-        return mh_step, per_host, to_global
-    if args.dp and args.dp > 1:
-        from mcmda_tpu.parallel import dp, mesh as mesh_mod
-        mesh = mesh_mod.make_mesh(args.dp)
-        step = dp.data_parallel_step(
-            make_step(cfg, axis_name=cfg.parallel.data_axis, **mk_kwargs),
-            mesh, donate=cfg.run.donate)
-        shd = mesh_mod.batch_sharding(mesh)
-        return step, cfg.data.batch_size * args.dp, \
-            lambda s: _feed(s, sharding=shd)
-    return jax.jit(make_step(cfg, **mk_kwargs),
-                   donate_argnums=(0,) if cfg.run.donate else ()), \
-        cfg.data.batch_size, lambda s: _feed(s)
+    """(step_fn, per-host global batch, feed transform) — see
+    drivers.wrap_dp; the CLI contributes only --dp."""
+    from mcmda_tpu.train import drivers
+    return drivers.wrap_dp(cfg, make_step, dp=getattr(args, "dp", 0) or 0,
+                           **mk_kwargs)
 
 
 def _device_resident_dp(cfg, make_step, args, inner, data_builder,
                         **mk_kwargs):
-    """Device-resident dataset + scanned on-device-sampling step; the dataset
-    shards across replicas under --dp (each shard samples locally — the
-    single-process form of per-host input sharding).
-
-    Multi-host: the mesh spans every process's devices, each host
-    materializes only ITS rows of the dataset (``data_builder`` receives the
-    global batch sharding and is expected to pre-shard with
-    ``multihost.shard_dataset``), and each device samples from its local
-    block inside the shard_map'd step — per-host input sharding with zero
-    per-step host transfer."""
-    import jax
-    from mcmda_tpu.train import loop
-    if _multihost_active():
-        from mcmda_tpu.parallel import dp, mesh as mesh_mod, multihost
-        mesh = multihost.global_mesh()
-        data = data_builder(mesh_mod.batch_sharding(mesh))
-        inner_step = dp.data_parallel_step(
-            loop.scanned_step(
-                make_step(cfg, axis_name=cfg.parallel.data_axis,
-                          sample_from_device=True, **mk_kwargs), inner),
-            mesh, donate=False)
-
-        def mh_step(state, batch, rng):
-            state = multihost.ensure_replicated(state, mesh)
-            rng = multihost.replicate(rng, mesh)
-            return inner_step(state, batch, rng)
-
-        return mh_step, data
-    if args.dp and args.dp > 1:
-        from mcmda_tpu.parallel import dp, mesh as mesh_mod
-        mesh = mesh_mod.make_mesh(args.dp)
-        data = data_builder(mesh_mod.batch_sharding(mesh))
-        step = dp.data_parallel_step(
-            loop.scanned_step(
-                make_step(cfg, axis_name=cfg.parallel.data_axis,
-                          sample_from_device=True, **mk_kwargs), inner),
-            mesh, donate=cfg.run.donate)
-        return step, data
-    data = data_builder(None)
-    step = jax.jit(
-        loop.scanned_step(make_step(cfg, sample_from_device=True,
-                                    **mk_kwargs), inner),
-        donate_argnums=(0,) if cfg.run.donate else ())
-    return step, data
+    """Device-resident dataset + scanned on-device-sampling step — see
+    drivers.device_resident_dp; the CLI contributes only --dp."""
+    from mcmda_tpu.train import drivers
+    return drivers.device_resident_dp(cfg, make_step,
+                                      getattr(args, "dp", 0) or 0, inner,
+                                      data_builder, **mk_kwargs)
 
 
 def cmd_adapt(args):
@@ -385,6 +292,13 @@ def cmd_adapt(args):
     selector = cr_selector if cfg.adapt.select_signal == "class_ratio" \
         else eq_selector
     ratio_probe = adapt.make_class_ratio_probe(cfg, probe_images)
+    # with weight averaging on, score BOTH the live DAM and the EMA average
+    # and select whichever variant scores better — selection and evaluation
+    # must rank/use the same net (VERDICT r2: the probe scored only the live
+    # weights while `evaluate --weights auto` used the average)
+    ratio_probe_avg = (adapt.make_class_ratio_probe(cfg, probe_images,
+                                                    use_avg=True)
+                       if cfg.adapt.dam_ema > 0 else None)
 
     # The probe cadence (cfg.adapt.select_every) is independent of
     # checkpointing: when the primary score improves, only the tiny
@@ -401,10 +315,15 @@ def cmd_adapt(args):
         # state, fixed probe); artifact writes gate to process 0
         scalars["class_ratio_dist"] = cr_selector.update(
             step, np.asarray(ratio_probe(st)))
+        if ratio_probe_avg is not None:
+            scalars["class_ratio_dist_avg"] = cr_selector.update(
+                step, np.asarray(ratio_probe_avg(st)), variant="avg")
         logger.log(step, scalars)
         if selector.best_step == step:
-            best_stash["dam_params"] = jax.device_get(st.dam_params)
-            best_stash["tgt_bn"] = jax.device_get(st.tgt_bn)
+            use_avg = getattr(selector, "best_variant", "live") == "avg"
+            dam, bn = adapt.eval_weights(st, use_avg=use_avg)
+            best_stash["dam_params"] = jax.device_get(dam)
+            best_stash["tgt_bn"] = jax.device_get(bn)
         if not _multihost_active() or _is_primary():
             selector.save(args.out)
 
@@ -466,6 +385,14 @@ def cmd_adapt(args):
                 dam_params=best_stash["dam_params"],
                 tgt_bn=best_stash["tgt_bn"],
                 step=np.asarray(selector.best_step, np.int32))
+            if sel_state.ema_w is not None:
+                # the stash already materialized the CHOSEN weight variant
+                # into dam_params; zero the EMA accumulator weight so any
+                # later `evaluate --weights avg/auto` falls back to exactly
+                # those weights instead of re-averaging with the final
+                # state's (unrelated) avg trees
+                sel_state = sel_state.replace(
+                    ema_w=np.zeros((), np.float32))
             base = os.path.join(args.out,
                                 f"step_{selector.best_step:08d}")
             if not (os.path.isdir(base) or os.path.exists(base + ".npz")):
@@ -498,6 +425,26 @@ def _resolve_ckpt(path: str) -> str:
     return path
 
 
+def _selected_weights(ckpt_path: str) -> str | None:
+    """The weight variant ("live"/"avg") the selection probe ranked best —
+    from selection.json in the run directory, iff ``ckpt_path`` IS the
+    selected step.  None when no selection applies (other steps, no file,
+    pre-variant selection.json)."""
+    d = os.path.dirname(ckpt_path.rstrip("/"))
+    base = os.path.basename(ckpt_path.rstrip("/"))
+    sel = os.path.join(d, "selection.json")
+    if not (base.startswith("step_") and os.path.exists(sel)):
+        return None
+    try:
+        with open(sel) as f:
+            rec = json.load(f)
+        if base == f"step_{int(rec['best_step']):08d}":
+            return rec.get("weights")
+    except (KeyError, ValueError, OSError):
+        pass
+    return None
+
+
 def cmd_evaluate(args):
     import jax
     from mcmda_tpu.data import splits
@@ -523,8 +470,15 @@ def cmd_evaluate(args):
         state = adapt.init_state(jax.random.key(1), cfg, src_state.params,
                                  src_state.bn_state)
         state = checkpoint.restore(args.ckpt, state)
-        use_avg = (args.weights == "avg" or
-                   (args.weights == "auto" and cfg.adapt.dam_ema > 0))
+        if args.weights == "auto":
+            # prefer the variant the selection probe actually ranked best
+            # (selection.json "weights", written by the adapt driver); fall
+            # back to the dam_ema heuristic for pre-selection checkpoints
+            rec = _selected_weights(args.ckpt)
+            use_avg = (rec == "avg") if rec is not None \
+                else cfg.adapt.dam_ema > 0
+        else:
+            use_avg = args.weights == "avg"
         if use_avg:
             print("evaluating EMA-averaged DAM weights "
                   f"(adapt.dam_ema={cfg.adapt.dam_ema})")

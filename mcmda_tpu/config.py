@@ -186,6 +186,14 @@ class AdaptConfig:
     # gradient) at bf16 — ~15% step speedup with no effect on DAM gradients
     # (taps cast back to f32 before the critic).
     src_feats_bf16: bool = False
+    # Run the D-phase TARGET forward at bf16 too: computed outside the
+    # critic-loss grad, it carries no DAM gradient (exactly like the frozen
+    # source path), so bf16 rounds only the critic's view of target
+    # features.  The G-phase forward/backward — the precision-critical
+    # pathway (the r2 bf16-everywhere cliff; the critic itself always
+    # computes f32, ops/layers.py conv default) — stays at
+    # segmenter.compute_dtype.
+    tgt_feats_bf16: bool = False
     # Unsupervised checkpoint-selection signal (train/adapt.py selectors):
     # "class_ratio"  — L1 distance of predicted target class fractions to the
     #                  source label marginals (measured best: near-oracle)

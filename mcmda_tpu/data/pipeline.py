@@ -167,8 +167,21 @@ def to_device_arrays(ds, num_classes: int | None = None, sharding=None):
         def put(a):
             return jax.make_array_from_process_local_data(sharding, a)
     else:
+        n_keep = None
+        if sharding is not None:
+            # drop-last to a multiple of the shard count so every replica
+            # gets an equal block (multihost.shard_dataset semantics; a
+            # P("data") device_put of a non-divisible row count is an error)
+            ways = sharding.num_devices
+            n_keep = (ds.images.shape[0] // ways) * ways
+            if n_keep == 0:
+                raise ValueError(
+                    f"device-resident dataset has {ds.images.shape[0]} rows "
+                    f"— fewer than the {ways} data-parallel shards")
+
         def put(a):
-            return jax.device_put(a, sharding)
+            return jax.device_put(a if n_keep is None else a[:n_keep],
+                                  sharding)
     out = {"images": put(ds.images)}
     if ds.labels is not None and num_classes:
         out["labels"] = put(ds.labels.astype(np.int8))

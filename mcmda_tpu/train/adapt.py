@@ -76,6 +76,12 @@ def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
                                          cfg.adapt.plug_depth)
     critic_params = critic_mod.init(rng, cfg.critic, cfg.segmenter)
     tx_g, tx_d = make_txs(cfg)
+    # the weight-average trees exist ONLY when the knob is on: with
+    # dam_ema=0 (the shipped default) zero-filled DAM-sized tensors would be
+    # pure dead weight in every checkpoint and donation cycle (VERDICT r2).
+    # None fields are empty pytree subtrees, so jit/donate/checkpoint all
+    # skip them; cross-config restore (ema on<->off) is not supported.
+    ema_on = cfg.adapt.dam_ema > 0.0
     return AdaptState(
         src_params=src_params,
         src_bn=src_bn,
@@ -85,12 +91,12 @@ def init_state(rng, cfg: ExperimentConfig, src_params, src_bn) -> AdaptState:
         opt_g_state=tx_g.init(dam),
         opt_d_state=tx_d.init(critic_params),
         step=jnp.zeros((), jnp.int32),
-        avg_dam=jax.tree.map(jnp.zeros_like, dam),
-        avg_bn=jax.tree.map(jnp.zeros_like, src_bn),
-        ema_w=jnp.zeros((), jnp.float32),
+        avg_dam=jax.tree.map(jnp.zeros_like, dam) if ema_on else None,
+        avg_bn=jax.tree.map(jnp.zeros_like, src_bn) if ema_on else None,
+        ema_w=jnp.zeros((), jnp.float32) if ema_on else None,
         # neutral prior: the gate stays closed until the minimax actually
         # nears equilibrium, excluding the poor early-adaptation weights
-        eq_smooth=jnp.full((), 0.25, jnp.float32),
+        eq_smooth=jnp.full((), 0.25, jnp.float32) if ema_on else None,
     )
 
 
@@ -128,16 +134,28 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                                         train=True, axis_name=axis_name)
         return {k: v.astype(jnp.float32) for k, v in taps.items()}
 
-    def tgt_forward(dam_params, state: AdaptState, x):
+    def tgt_forward(dam_params, state: AdaptState, x, cfg_fwd=seg_cfg):
         _, _, taps, new_bn = segmenter.apply(
-            state.src_params, state.tgt_bn, x, seg_cfg, train=True,
+            state.src_params, state.tgt_bn, x, cfg_fwd, train=True,
             axis_name=axis_name, dam_params=dam_params,
             plug_depth=a.plug_depth, bn_train_stages=bn_train_stages)
         return taps, new_bn
 
+    # D-phase target forward: computed OUTSIDE the critic-loss grad (below),
+    # so like the frozen source path it carries no DAM gradient and can run
+    # bf16 harmlessly — only the critic's view of target features rounds.
+    # Its BN stats are discarded (the G-phase persists them), and taps cast
+    # back to f32 for statistical comparability with the source features.
+    d_seg_cfg = seg_cfg if not a.tgt_feats_bf16 else \
+        dataclasses.replace(seg_cfg, compute_dtype=jnp.bfloat16)
+
+    def tgt_taps_d(dam_params, state: AdaptState, x):
+        taps, _ = tgt_forward(dam_params, state, x, cfg_fwd=d_seg_cfg)
+        return {k: v.astype(jnp.float32) for k, v in taps.items()}
+
     def d_step(state: AdaptState, x_src, x_tgt):
         f_src = src_taps(state.src_params, state.src_bn, x_src)
-        f_tgt, _ = tgt_forward(state.dam_params, state, x_tgt)
+        f_tgt = tgt_taps_d(state.dam_params, state, x_tgt)
 
         def loss(critic_params):
             l_s = critic_mod.flatten_logits(
@@ -278,11 +296,17 @@ class _BestScoreSelector:
         self.warmup_step = warmup_step
         self.best_step = None
         self.best_score = float("inf")
+        # which weight variant scored best at best_step: "live" (the raw
+        # DAM) or "avg" (the equilibrium-gated EMA, cfg.adapt.dam_ema>0) —
+        # evaluation must use the SAME variant the probe selected
+        self.best_variant = "live"
 
-    def _record(self, step: int, score: float) -> float:
+    def _record(self, step: int, score: float,
+                variant: str = "live") -> float:
         if step >= self.warmup_step and score < self.best_score:
             self.best_score = score
             self.best_step = step
+            self.best_variant = variant
         return score
 
     def save(self, out_dir: str) -> None:
@@ -293,7 +317,8 @@ class _BestScoreSelector:
         with open(os.path.join(out_dir, "selection.json"), "w") as f:
             json.dump({"signal": self.signal,
                        "best_step": int(self.best_step),
-                       "best_score": self.best_score}, f)
+                       "best_score": self.best_score,
+                       "weights": self.best_variant}, f)
 
 
 class EquilibriumSelector(_BestScoreSelector):
@@ -341,11 +366,11 @@ class ClassRatioSelector(_BestScoreSelector):
         import numpy as np
         self.ref_fracs = np.asarray(ref_fracs, np.float64)
 
-    def update(self, step: int, pred_fracs) -> float:
+    def update(self, step: int, pred_fracs, variant: str = "live") -> float:
         import numpy as np
         score = float(np.abs(np.asarray(pred_fracs, np.float64)
                              - self.ref_fracs).sum())
-        return self._record(step, score)
+        return self._record(step, score, variant)
 
 
 def select_warmup(cfg: ExperimentConfig) -> int:
@@ -403,8 +428,11 @@ def make_class_ratio_probe(cfg: ExperimentConfig, probe_images,
 def eval_weights(state: AdaptState, use_avg: bool = False):
     """(dam_params, bn) to evaluate with: the live DAM, or the bias-corrected
     weight average (``avg_* / ema_w``).  Falls back to the live weights while
-    nothing has been folded in yet (``ema_w == 0`` — gate never opened)."""
-    if not use_avg:
+    nothing has been folded in yet (``ema_w == 0`` — gate never opened) and
+    when the averaging trees were never allocated (``dam_ema=0`` states, or a
+    selection-materialized checkpoint whose dam_params ARE the chosen
+    weights)."""
+    if not use_avg or state.ema_w is None:
         return state.dam_params, state.tgt_bn
     w = state.ema_w
     nz = (w > 0).astype(jnp.float32)

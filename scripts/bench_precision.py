@@ -44,15 +44,15 @@ def measure(dtype_name: str, compute_dtype):
         "src_image": jax.random.normal(jax.random.key(2), (b, 256, 256, 3)),
         "tgt_image": jax.random.normal(jax.random.key(3), (b, 256, 256, 3)),
     }
-    a_dt, a_flops = bench._timed_scan(adapt.make_adapt_step(cfg), a_state,
-                                      a_batch, metric_key="g_loss")
+    a_dt, a_flops, _ = bench._timed_scan(adapt.make_adapt_step(cfg), a_state,
+                                         a_batch, metric_key="g_loss")
 
     s_state = source.init_state(jax.random.key(6), cfg)
     lab = jax.nn.one_hot(
         jax.random.randint(jax.random.key(7), (b, 256, 256), 0, 5), 5)
     s_batch = {"image": a_batch["src_image"], "label": lab}
-    s_dt, _ = bench._timed_scan(source.make_train_step(cfg), s_state,
-                                s_batch, metric_key="loss")
+    s_dt, _, _ = bench._timed_scan(source.make_train_step(cfg), s_state,
+                                   s_batch, metric_key="loss")
 
     # quality probe: 60 same-seed source steps on one batch must converge
     step = jax.jit(source.make_train_step(cfg, augment=False),

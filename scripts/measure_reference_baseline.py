@@ -146,6 +146,21 @@ def main():
     print(f"reference-equivalent (torch-cpu) adaptation step: "
           f"{sps:.3f} slices/s  ({dt / args.iters:.2f} s/step, "
           f"batch {args.batch})")
+    # artifact of record: bench.py reads this as its vs_baseline denominator
+    # (re-run this script on new hardware and the headline ratio follows)
+    import json
+    import os
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "results", "reference_baseline.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"slices_per_sec": round(sps, 4),
+                   "sec_per_step": round(dt / args.iters, 4),
+                   "batch": args.batch, "iters": args.iters,
+                   "impl": "torch-cpu reference-equivalent "
+                           "(scripts/measure_reference_baseline.py)"}, f,
+                  indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":

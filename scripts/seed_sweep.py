@@ -68,17 +68,20 @@ def main():
     p.add_argument("--source-steps", type=int, default=None)
     p.add_argument("--adapt-steps", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--set", action="append", metavar="K.EY=VAL",
+                   help="config override, same syntax as the CLI "
+                        "(e.g. --set adapt.tgt_feats_bf16=true)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
-    from mcmda_tpu import api
+    from mcmda_tpu import cli
     from mcmda_tpu.data import pipeline, synthetic, volumes as vio
     from mcmda_tpu.models import segmenter
     from mcmda_tpu.train import adapt as adapt_mod, loop, source as source_mod
 
-    cfg = api.load_config(args.config or os.path.join(
+    cfg = cli._load_config(args.config or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "configs", f"{args.direction}.json"))
+        "configs", f"{args.direction}.json"), getattr(args, "set", None))
     if args.source_steps:
         cfg = dataclasses.replace(cfg, source=dataclasses.replace(
             cfg.source, steps=args.source_steps))
@@ -195,6 +198,13 @@ def main():
             warmup_step=cfg.adapt.steps // 5)
         cr_sel = adapt_mod.ClassRatioSelector(
             src_fracs, warmup_step=adapt_mod.select_warmup(cfg))
+        # dual-variant selection (VERDICT r2 item 5): ONE unsupervised
+        # class-ratio selector scoring the live DAM and every EMA-averaged
+        # variant; picks (step, variant) jointly.  No label leakage — the
+        # score is the same source-marginal prior the live selector uses.
+        cr_dual = adapt_mod.ClassRatioSelector(
+            src_fracs, warmup_step=adapt_mod.select_warmup(cfg))
+        dual_snapshot = None
         # raw EMA trees start at ZERO (bias-corrected at eval); w tracks the
         # accumulated weight.  No aliasing with the donated train state.
         zeros = jax.tree.map(jnp.zeros_like, (state.dam_params, state.tgt_bn))
@@ -235,6 +245,9 @@ def main():
                     rec[f"dice_{name}"] = rec["dice"]
                     rec[f"fracs_{name}"] = rec["fracs"]
                     rec[f"ent_{name}"] = rec["ent"]
+            cr_dual.update(step_i, rec["fracs"], variant="live")
+            for name in VARIANTS:
+                cr_dual.update(step_i, rec[f"fracs_{name}"], variant=name)
             curve.append(rec)
             if dmean > best_oracle[1]:
                 best_oracle = (step_i, dmean)
@@ -242,6 +255,11 @@ def main():
                 sel_snapshot = (step_i, dmean)
             if cr_sel.best_step == step_i:
                 cr_snapshot = (step_i, dmean)
+            if cr_dual.best_step == step_i:
+                v = cr_dual.best_variant
+                dual_snapshot = (step_i,
+                                 rec["dice" if v == "live" else f"dice_{v}"],
+                                 v)
         final = curve[-1]["dice"]
         row = {"seed": seed, "final": final,
                "selected": sel_snapshot[1] if sel_snapshot else final,
@@ -250,6 +268,11 @@ def main():
                "selected_cr": cr_snapshot[1] if cr_snapshot else final,
                "selected_cr_step": cr_snapshot[0] if cr_snapshot else
                cfg.adapt.steps,
+               "selected_dual": dual_snapshot[1] if dual_snapshot else final,
+               "selected_dual_step": dual_snapshot[0] if dual_snapshot
+               else cfg.adapt.steps,
+               "selected_dual_variant": dual_snapshot[2] if dual_snapshot
+               else "live",
                "oracle": best_oracle[1], "oracle_step": best_oracle[0],
                "curve": curve}
         for name in VARIANTS:
@@ -260,6 +283,9 @@ def main():
               f"selected={row['selected']:.3f}@{row['selected_step']} "
               f"selected_cr={row['selected_cr']:.3f}"
               f"@{row['selected_cr_step']} "
+              f"dual={row['selected_dual']:.3f}"
+              f"@{row['selected_dual_step']}"
+              f"/{row['selected_dual_variant']} "
               f"oracle={row['oracle']:.3f}@{row['oracle_step']} "
               + " ".join(f"{n}={row[n]:.3f}" for n in VARIANTS)
               + f" ({time.time() - t0:.0f}s)", flush=True)
@@ -275,6 +301,7 @@ def main():
            "no_adapt": round(no_adapt, 4),
            "final": agg("final"), "selected": agg("selected"),
            "selected_cr": agg("selected_cr"),
+           "selected_dual": agg("selected_dual"),
            "oracle": agg("oracle"),
            **{n: agg(n) for n in VARIANTS},
            **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
@@ -289,7 +316,7 @@ def main():
     print(f"[sweep] wrote {path}")
     print(json.dumps({k: out[k] for k in
                       ("no_adapt", "final", "selected", "selected_cr",
-                       "oracle")}))
+                       "selected_dual", "oracle")}))
 
 
 if __name__ == "__main__":

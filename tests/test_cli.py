@@ -122,6 +122,44 @@ def test_cli_adapt_writes_class_ratio_selection(tmp_path):
     assert "class_ratio_dist" in sigs
 
 
+def test_cli_adapt_dam_ema_selects_coherent_variant(tmp_path):
+    """With weight averaging on, the selection probe scores BOTH the live
+    DAM and the EMA average; selection.json records the winning variant,
+    metrics carry both scores, and evaluate --weights auto uses the recorded
+    variant (coherence: selection and evaluation rank the same net)."""
+    import json
+    src_out = str(tmp_path / "src")
+    common = ["--synthetic", "--synthetic-volumes", "2",
+              "--config", os.path.join(
+                  os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  "configs", "smoke.json"),
+              "--set", "data.slice_size=32", "--set", "data.batch_size=2",
+              "--set", "run.log_every=4", "--set", "run.donate=false"]
+    rc = cli.main(["train-source", *common, "--set", "source.steps=8",
+                   "--set", "run.ckpt_every=0", "--out", src_out])
+    assert rc in (0, None)
+    adapt_out = str(tmp_path / "adapt")
+    rc = cli.main(["adapt", *common, "--source-ckpt", src_out,
+                   "--set", "adapt.steps=8", "--set", "adapt.pretrain_steps=0",
+                   "--set", "adapt.dam_ema=0.7",
+                   "--set", "run.ckpt_every=4", "--out", adapt_out])
+    assert rc in (0, None)
+    with open(os.path.join(adapt_out, "selection.json")) as f:
+        rec = json.load(f)
+    assert rec["weights"] in ("live", "avg")
+    sigs = set()
+    with open(os.path.join(adapt_out, "metrics.jsonl")) as f:
+        for ln in f:
+            sigs.update(json.loads(ln))
+    assert {"class_ratio_dist", "class_ratio_dist_avg"} <= sigs
+    rc = cli.main(["evaluate", *common, "--set", "adapt.dam_ema=0.7",
+                   "--ckpt", adapt_out,
+                   "--json-out", os.path.join(adapt_out, "eval.json")])
+    assert rc in (0, None)
+    with open(os.path.join(adapt_out, "eval.json")) as f:
+        assert "mean" in json.load(f)
+
+
 def test_config_bf16_roundtrip():
     """compute_dtype=bfloat16 must survive a to_json/from_json round-trip
     (regression: ml_dtypes.bfloat16 from from_json wasn't re-encodable)."""
@@ -130,3 +168,25 @@ def test_config_bf16_roundtrip():
     assert cfg.segmenter.compute_dtype == jnp.bfloat16
     cfg2 = ExperimentConfig.from_json(cfg.to_json())
     assert cfg2.segmenter.compute_dtype == jnp.bfloat16
+
+
+def test_synthetic_e2e_example_smoke(tmp_path):
+    """README's first-advertised workflow (examples/synthetic_e2e.py) must
+    run end-to-end: all five driver configs on tiny step counts.  Asserts
+    completion (summary + verdict printed), not the quality gate — 30-step
+    runs don't have to adapt (VERDICT r2 weak item 7)."""
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "examples", "synthetic_e2e.py"),
+         "--cpu", "--source-steps", "30", "--pretrain-steps", "10",
+         "--adapt-steps", "30"],
+        capture_output=True, text=True, timeout=900, cwd=str(tmp_path),
+        env=env)
+    assert out.returncode in (0, 1), out.stderr[-2000:]
+    assert "E2E RESULT:" in out.stdout
+    assert "summary: MRI dice=" in out.stdout

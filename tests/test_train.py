@@ -291,10 +291,13 @@ def test_dam_ema_weight_averaging(tiny_config):
 
     cfg0 = tiny_config  # dam_ema defaults to 0
     state0 = adapt.init_state(jax.random.key(1), cfg0, src_params, src_bn)
+    # averaging OFF -> the avg trees are never allocated (no checkpoint /
+    # donation dead weight, VERDICT r2)
+    assert state0.avg_dam is None and state0.ema_w is None
     s01, _ = jax.jit(adapt.make_adapt_step(cfg0, augment=False))(
         state0, batch, jax.random.key(2))
-    assert float(s01.ema_w) == 0.0
-    # use_avg with an empty average falls back to the live weights
+    assert s01.ema_w is None
+    # use_avg with no average falls back to the live weights
     dam0, bn0 = adapt.eval_weights(s01, use_avg=True)
     for a, b in zip(jax.tree.leaves(dam0), jax.tree.leaves(s01.dam_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
@@ -344,6 +347,46 @@ def test_class_ratio_selector(tmp_path):
     with open(tmp_path / "selection.json") as f:
         rec = json.load(f)
     assert rec["best_step"] == 30 and rec["signal"] == "class_ratio"
+    assert rec["weights"] == "live"
+
+
+def test_selector_tracks_weight_variant(tmp_path):
+    """With dam_ema on, the probe scores BOTH the live DAM and the EMA
+    average; selection.json must record WHICH variant won so evaluation uses
+    the same net the selector ranked (VERDICT r2 coherence item)."""
+    ref = np.array([0.9, 0.1])
+    sel = adapt.ClassRatioSelector(ref, warmup_step=0)
+    sel.update(10, [0.7, 0.3], variant="live")
+    sel.update(10, [0.88, 0.12], variant="avg")   # avg wins step 10
+    assert (sel.best_step, sel.best_variant) == (10, "avg")
+    sel.update(20, [0.90, 0.10], variant="live")  # live wins overall
+    sel.update(20, [0.80, 0.20], variant="avg")
+    assert (sel.best_step, sel.best_variant) == (20, "live")
+    sel.save(str(tmp_path))
+    import json
+    with open(tmp_path / "selection.json") as f:
+        assert json.load(f)["weights"] == "live"
+
+
+def test_selected_weights_resolution(tmp_path):
+    """cli._selected_weights: returns the recorded variant only for the
+    selected step's checkpoint path; None elsewhere."""
+    import json
+    from mcmda_tpu import cli
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "selection.json", "w") as f:
+        json.dump({"signal": "class_ratio", "best_step": 30,
+                   "best_score": 0.1, "weights": "avg"}, f)
+    assert cli._selected_weights(str(run / "step_00000030")) == "avg"
+    assert cli._selected_weights(str(run / "step_00000040")) is None
+    assert cli._selected_weights(str(tmp_path / "other" / "step_00000030")) \
+        is None
+    # pre-variant selection.json (no "weights" key) -> None
+    with open(run / "selection.json", "w") as f:
+        json.dump({"signal": "class_ratio", "best_step": 30,
+                   "best_score": 0.1}, f)
+    assert cli._selected_weights(str(run / "step_00000030")) is None
 
 
 def test_label_fractions_and_ratio_probe(tiny_config):
@@ -434,3 +477,41 @@ def test_prune_removes_stale_tmp_dirs(tmp_path, tiny_config):
     assert not stale.exists()
     names = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
     assert names == ["step_00000010", "step_00000015"]
+
+
+def test_selective_precision_adapt_step(tiny_config):
+    """Selective precision (VERDICT r2 item 2): the D-phase target forward
+    can run bf16 (adapt.tgt_feats_bf16) because it carries no DAM gradient —
+    the step must run finite, keep f32 master params, and actually change
+    the critic's view (d_loss moves vs the f32 D-phase).  The full-bf16
+    backbone must also run finite with f32 masters."""
+    import dataclasses
+    batch = {"src_image": _batch(tiny_config, 0, "mri")["image"],
+             "tgt_image": _batch(tiny_config, 0, "ct")["image"]}
+    src_params, src_bn = segmenter.init(jax.random.key(0),
+                                        tiny_config.segmenter)
+    outs = {}
+    for flag in (True, False):
+        cfg = dataclasses.replace(
+            tiny_config,
+            adapt=dataclasses.replace(tiny_config.adapt,
+                                      tgt_feats_bf16=flag))
+        state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+        step = jax.jit(adapt.make_adapt_step(cfg, augment=False))
+        s1, m = step(state, batch, jax.random.key(2))
+        assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["g_loss"]))
+        assert all(l.dtype == jnp.float32
+                   for l in jax.tree.leaves(s1.dam_params))
+        outs[flag] = float(m["d_loss"])
+    assert outs[True] != outs[False]
+
+    # full-bf16 backbone (the quality-measured recipe) still runs finite
+    cfg16 = dataclasses.replace(
+        tiny_config, segmenter=dataclasses.replace(
+            tiny_config.segmenter, compute_dtype=jnp.bfloat16))
+    state = adapt.init_state(jax.random.key(1), cfg16, src_params, src_bn)
+    s1, m = jax.jit(adapt.make_adapt_step(cfg16, augment=False))(
+        state, batch, jax.random.key(2))
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(s1.dam_params))
