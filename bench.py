@@ -87,8 +87,16 @@ def _timed_scan(step_fn, state, batch, K1: int = 20, K2: int = 60,
                 reps: int = 3, metric_key=None):
     """Marginal per-step latency of feedback-chained scans at two lengths,
     with host readback as the completion barrier.
-    Returns (sec/step, flops/step, hbm_bytes/step)."""
-    cost = {}
+    Returns (sec/step, flops/step, hbm_bytes/step).
+
+    Cost comes from compiling the UNSCANNED step: XLA's cost analysis counts
+    a while-loop body ONCE regardless of trip count (verified: scan K=5 and
+    K=20 of a matmul report identical flops), so dividing a scanned
+    compilation's numbers by K under-reports per-step cost by ~K — the r2
+    artifact's 3% MFU was this bug."""
+    # per-step cost from the bare step compilation (exact: no loop scaling)
+    flops, hbm_bytes = _cost_of(
+        jax.jit(step_fn).lower(state, batch, jax.random.key(4)).compile())
 
     def time_at_k(K):
         def run_k(state, batch, rng):
@@ -99,9 +107,6 @@ def _timed_scan(step_fn, state, batch, K1: int = 20, K2: int = 60,
             return jax.lax.scan(body, state, jnp.arange(K))
 
         run_j = jax.jit(run_k, donate_argnums=(0,))
-        if K not in cost:
-            cost[K] = _cost_of(
-                run_j.lower(state, batch, jax.random.key(4)).compile())
         # run on a COPY: run_j donates arg 0, and the pristine ``state``
         # must survive for the second chain length
         st, out = run_j(jax.tree.map(jnp.copy, state), batch,
@@ -117,24 +122,25 @@ def _timed_scan(step_fn, state, batch, K1: int = 20, K2: int = 60,
         return best
 
     per = _marginal(time_at_k, K1, K2)
-    flops, hbm_bytes = cost[K1]
-    return per, flops / K1, hbm_bytes / K1
+    return per, flops, hbm_bytes
 
 
-def _measure_peak_tflops() -> float:
-    """Feedback-chained bf16 4096^3 matmul chain: measured MXU peak
+def _measure_peak_tflops(dtype=jnp.bfloat16) -> float:
+    """Feedback-chained 4096^3 matmul chain: measured MXU peak for ``dtype``
     (marginal over two chain lengths).  Inputs scaled to unit output
     variance so the chain stays finite with no per-step normalization
-    polluting the measurement."""
+    polluting the measurement.  bf16 is the chip's speed of light (the MFU
+    denominator); the f32 peak is also recorded since the training path
+    computes mostly f32."""
     n = 4096
     a = jax.random.normal(jax.random.key(0), (n, n),
                           jnp.float32) * (n ** -0.5)
-    a = a.astype(jnp.bfloat16)
+    a = a.astype(dtype)
 
     def time_at_k(K):
         def chain(a):
             def body(x, _):
-                return (x @ x).astype(jnp.bfloat16), ()
+                return (x @ x).astype(dtype), ()
             x, _ = jax.lax.scan(body, a, None, length=K)
             return x.astype(jnp.float32).sum()
 
@@ -295,8 +301,15 @@ def main():
                                  batch_size=b, fwd_args=(src_params, src_bn))
     serve_e2e_dt = time.perf_counter() - t0
 
-    # ---- rooflines: compute (MFU) AND bandwidth (the one that binds) ----
+    # ---- rooflines: compute (MFU) AND bandwidth ----
+    # flops are XLA's exact conv/matmul count for the single compiled step;
+    # "bytes accessed" is XLA's post-fusion HLO traffic ESTIMATE — a loose
+    # upper bound (it counts nominal operand bytes per fusion, so repeated
+    # weight reads and rematerialized values count every time), so
+    # hbm_bw_utilization can exceed 1.0 and is a ceiling indicator, not a
+    # measurement.
     peak = _measure_peak_tflops()
+    peak_f32 = _measure_peak_tflops(jnp.float32)
     hbm_gbps = _measure_hbm_gbps()
     a_tflops = a_flops / a_dt / 1e12
     s_tflops = s_flops / s_dt / 1e12
@@ -327,6 +340,7 @@ def main():
             "serving_volume_ms": round(serve_dt * 1e3, 2),
             "serving_e2e_volume_ms": round(serve_e2e_dt * 1e3, 2),
             "measured_peak_tflops": round(peak, 1),
+            "measured_peak_tflops_f32": round(peak_f32, 1),
             "measured_hbm_gbps": round(hbm_gbps, 1),
             # fixed per-dispatch cost the marginal timings cancel (median
             # over all two-point fits; mostly tunnel round-trip + readback)

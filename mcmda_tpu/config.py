@@ -63,6 +63,13 @@ class SegmenterConfig:
     #          automatically when shapes don't divide by 2.
     # "nhwc" — stock XLA convs (the r2 behavior; also the test oracle).
     thin_layout: str = "s2d"
+    # Training-mode execution of the WIDE dilated-tail blocks (rm4-rm6):
+    # "pallas" — fused conv + BN-statistics kernel (kernels/train_conv.py):
+    #            the batch-stats reduction rides the conv's VMEM epilogue,
+    #            saving one full HBM read of every tail conv output per
+    #            training step.  Exact (incl. DP sync-BN; tested vs oracle).
+    # "none"   — stock XLA conv + bn_apply (the oracle).
+    train_fused: str = "none"
 
     @property
     def total_stride(self) -> int:

@@ -122,7 +122,9 @@ def apply(
                                            momentum=cfg.bn_momentum,
                                            eps=cfg.bn_eps,
                                            axis_name=axis_name,
-                                           compute_dtype=cfg.compute_dtype)
+                                           compute_dtype=cfg.compute_dtype,
+                                           fused_train=(cfg.train_fused
+                                                        == "pallas"))
             h_s2d = None
             new_state[spec.name] = st
         taps[spec.name] = h

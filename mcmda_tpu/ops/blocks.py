@@ -44,17 +44,35 @@ def residual_block_apply(
     eps: float = 1e-5,
     axis_name=None,
     compute_dtype=jnp.float32,
+    fused_train: bool = False,
 ):
     new_state = {}
-    h = layers.conv_apply(params["conv1"], x, stride=stride, dilation=dilation,
-                          compute_dtype=compute_dtype)
-    h, new_state["bn1"] = layers.bn_apply(params["bn1"], state["bn1"], h, train,
-                                          momentum, eps, axis_name)
-    h = layers.relu(h)
-    h = layers.conv_apply(params["conv2"], h, stride=1, dilation=dilation,
-                          compute_dtype=compute_dtype)
-    h, new_state["bn2"] = layers.bn_apply(params["bn2"], state["bn2"], h, train,
-                                          momentum, eps, axis_name)
+
+    def _fused_ok(inp, cin: int, cout: int, s: int) -> bool:
+        # training-mode conv+BN-stats Pallas fusion (kernels/train_conv.py):
+        # stride-1 f32 convs of the wide dilated tail
+        if not (fused_train and train and s == 1
+                and compute_dtype == jnp.float32):
+            return False
+        from mcmda_tpu.kernels import train_conv
+        n, hh, ww, _ = inp.shape
+        return train_conv.fits((n, hh, ww, cin), (3, 3, cin, cout),
+                               dilation, jnp.float32)
+
+    c1 = params["conv1"]["w"].shape
+    if _fused_ok(x, c1[2], c1[3], stride):
+        from mcmda_tpu.kernels import train_conv
+        h, new_state["bn1"] = train_conv.conv_bn_act_train(
+            params["conv1"], params["bn1"], state["bn1"],
+            x.astype(jnp.float32), dilation=dilation, activation="relu",
+            momentum=momentum, eps=eps, axis_name=axis_name)
+    else:
+        h = layers.conv_apply(params["conv1"], x, stride=stride,
+                              dilation=dilation, compute_dtype=compute_dtype)
+        h, new_state["bn1"] = layers.bn_apply(params["bn1"], state["bn1"], h,
+                                              train, momentum, eps, axis_name)
+        h = layers.relu(h)
+
     if "proj" in params:
         sc = layers.conv_apply(params["proj"], x, stride=stride,
                                compute_dtype=compute_dtype)
@@ -62,6 +80,20 @@ def residual_block_apply(
                                                 train, momentum, eps, axis_name)
     else:
         sc = x
+
+    c2 = params["conv2"]["w"].shape
+    if _fused_ok(h, c2[2], c2[3], 1):
+        from mcmda_tpu.kernels import train_conv
+        out, new_state["bn2"] = train_conv.conv_bn_act_train(
+            params["conv2"], params["bn2"], state["bn2"],
+            h.astype(jnp.float32), dilation=dilation, activation="relu",
+            momentum=momentum, eps=eps, axis_name=axis_name,
+            residual=sc.astype(jnp.float32))
+        return out, new_state
+    h = layers.conv_apply(params["conv2"], h, stride=1, dilation=dilation,
+                          compute_dtype=compute_dtype)
+    h, new_state["bn2"] = layers.bn_apply(params["bn2"], state["bn2"], h, train,
+                                          momentum, eps, axis_name)
     return layers.relu(h + sc), new_state
 
 
@@ -131,7 +163,7 @@ def stage_init(key, cin: int, spec):
 
 
 def stage_apply(params, state, x, spec, *, train=False, momentum=0.99, eps=1e-5,
-                axis_name=None, compute_dtype=jnp.float32):
+                axis_name=None, compute_dtype=jnp.float32, fused_train=False):
     new_state = {}
     for i in range(spec.blocks):
         x, new_state[f"b{i}"] = residual_block_apply(
@@ -139,5 +171,6 @@ def stage_apply(params, state, x, spec, *, train=False, momentum=0.99, eps=1e-5,
             stride=spec.stride if i == 0 else 1,
             dilation=spec.dilation,
             train=train, momentum=momentum, eps=eps,
-            axis_name=axis_name, compute_dtype=compute_dtype)
+            axis_name=axis_name, compute_dtype=compute_dtype,
+            fused_train=fused_train)
     return x, new_state
