@@ -192,7 +192,38 @@ def _measure_hbm_gbps() -> float:
     return (2 * 4 * m * m) / per / 1e9
 
 
+def _require_backend(timeout_s: float = 180.0):
+    """Fail fast — with the one JSON line the driver expects — if the
+    accelerator backend cannot initialize, instead of hanging forever.
+    Backend init blocks indefinitely when the axon tunnel relay is down
+    (observed r3: the relay process died host-side and ``jax.devices()``
+    never returned), and a hung bench is worse than an honest error line."""
+    import os
+    import threading
+    result = {}
+
+    def probe():
+        try:
+            result["ok"] = [str(d) for d in jax.devices()]
+        except Exception as e:  # noqa: BLE001 — report whatever init raised
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    err = (f"backend init did not complete within {timeout_s:.0f}s "
+           "(accelerator tunnel down?)" if t.is_alive()
+           else result.get("error"))
+    if err:
+        print(json.dumps({
+            "metric": "adapt_train_slices_per_sec_per_chip", "value": 0.0,
+            "unit": "slices/s/chip", "vs_baseline": 0.0,
+            "extra": {"error": err}}), flush=True)
+        os._exit(2)
+
+
 def main():
+    _require_backend()
     from mcmda_tpu.config import ExperimentConfig
     from mcmda_tpu.evaluation import inference
     from mcmda_tpu.models import segmenter
