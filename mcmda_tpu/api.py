@@ -55,13 +55,15 @@ def train_source(cfg: ExperimentConfig, volumes: Sequence[np.ndarray],
     state, start = loop.maybe_resume(out_dir, state)
     n_steps = steps or cfg.source.steps
     inner = 1
-    if ds.images.nbytes < _ON_DEVICE_BYTES:
+    # shard FIRST, then apply the cutoff to the LOCAL shard — the CLI's
+    # semantics (a dataset too big globally may still fit per host)
+    ds_loc = ds
+    if drivers.multihost_active():
+        from mcmda_tpu.parallel import multihost
+        ds_loc = multihost.shard_dataset(ds, jax.device_count())
+    if ds_loc.images.nbytes < _ON_DEVICE_BYTES:
         inner = drivers.pick_inner(n_steps, cfg.run.log_every,
                                    cfg.run.ckpt_every)
-        ds_loc = ds
-        if drivers.multihost_active():
-            from mcmda_tpu.parallel import multihost
-            ds_loc = multihost.shard_dataset(ds, jax.device_count())
         dd = pipeline.to_device_arrays(ds_loc, cfg.data.num_classes,
                                        sharding=drivers.batch_sharding_for(
                                            dp))
@@ -72,7 +74,7 @@ def train_source(cfg: ExperimentConfig, volumes: Sequence[np.ndarray],
         step, global_batch, to_global = drivers.wrap_dp(
             cfg, source_mod.make_train_step, dp)
         sampler = iter(pipeline.BatchSampler(
-            ds, global_batch, seed=cfg.run.seed + 1,
+            ds, global_batch, seed=drivers.host_seed(cfg.run.seed + 1),
             num_classes=cfg.data.num_classes))
         feed = to_global(sampler)
     logger = mlog.MetricsLogger(os.path.join(out_dir, "metrics.jsonl")
@@ -117,8 +119,14 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
                                   min(64, len(tgt_ds))).astype(int)
     probe_images = tgt_ds.images[probe_idx_early]
 
-    on_device = (src_ds.images.nbytes
-                 + tgt_ds.images.nbytes) < _ON_DEVICE_BYTES
+    # shard FIRST, then apply the cutoff to the LOCAL shards (CLI semantics)
+    src_loc, tgt_loc = src_ds, tgt_ds
+    if drivers.multihost_active():
+        from mcmda_tpu.parallel import multihost
+        src_loc = multihost.shard_dataset(src_ds, jax.device_count())
+        tgt_loc = multihost.shard_dataset(tgt_ds, jax.device_count())
+    on_device = (src_loc.images.nbytes
+                 + tgt_loc.images.nbytes) < _ON_DEVICE_BYTES
     sel_every = cfg.adapt.select_every or cfg.run.ckpt_every
     sel_every = min(sel_every, max(1, n_adapt // 4))  # short runs
     inner = drivers.pick_inner(n_pre, n_adapt, cfg.run.log_every,
@@ -126,11 +134,6 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
         if on_device else 1
 
     if on_device:
-        src_loc, tgt_loc = src_ds, tgt_ds
-        if drivers.multihost_active():
-            from mcmda_tpu.parallel import multihost
-            src_loc = multihost.shard_dataset(src_ds, jax.device_count())
-            tgt_loc = multihost.shard_dataset(tgt_ds, jax.device_count())
         shd = drivers.batch_sharding_for(dp)
         device_data = {
             "src": pipeline.to_device_arrays(src_loc, sharding=shd),
@@ -148,12 +151,11 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
             return drivers.wrap_dp(cfg, adapt_mod.make_adapt_step, dp,
                                    **kw)[0]
 
-        _, per_host, to_global = drivers.wrap_dp(
-            cfg, adapt_mod.make_adapt_step, dp)
-        s_it = iter(pipeline.BatchSampler(src_ds, per_host,
-                                          seed=cfg.run.seed + 3))
-        t_it = iter(pipeline.BatchSampler(tgt_ds, per_host,
-                                          seed=cfg.run.seed + 4))
+        per_host, to_global = drivers.feed_plumbing(cfg, dp)
+        s_it = iter(pipeline.BatchSampler(
+            src_ds, per_host, seed=drivers.host_seed(cfg.run.seed + 3)))
+        t_it = iter(pipeline.BatchSampler(
+            tgt_ds, per_host, seed=drivers.host_seed(cfg.run.seed + 4)))
 
         def make_feed():
             pairs = ({"src_image": a["image"], "tgt_image": b["image"]}
@@ -217,9 +219,18 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
 
 
 def evaluate(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray],
-             labels: Sequence[np.ndarray], *, spacing=None) -> dict:
+             labels: Sequence[np.ndarray], *, spacing=None,
+             postprocess: str | None = None) -> dict:
     """Configs 1+5: 3D-stitched Dice/ASSD table for a source or adapted
-    state (dispatches on the state type)."""
+    state (dispatches on the state type).
+
+    ``postprocess``: "none"/"cc" — defaults to ``cfg.run.eval_postprocess``,
+    exactly like ``evaluate`` on the CLI (the shipped benchmark configs set
+    "cc", the largest-connected-component filter; the raw table is kept
+    under the returned dict's ``"raw"`` key)."""
+    from mcmda_tpu.evaluation import postprocess as pp_mod
+    pp = pp_mod.get(postprocess if postprocess is not None
+                    else cfg.run.eval_postprocess)
     if isinstance(state, adapt_mod.AdaptState):
         fwd = jax.jit(lambda img: adapt_mod.adapted_forward(cfg)(state, img))
     else:
@@ -228,4 +239,4 @@ def evaluate(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray],
     return report.evaluate_volumes(fwd, volumes, labels,
                                    context=cfg.data.context_slices,
                                    batch_size=cfg.data.batch_size,
-                                   spacing=spacing)
+                                   spacing=spacing, postprocess=pp)

@@ -182,9 +182,9 @@ def cmd_train_source(args):
 
 
 def _host_seed(seed: int) -> int:
-    """Per-host sampler seed: each host must draw DIFFERENT batches."""
-    import jax
-    return seed + 100003 * jax.process_index()
+    """Per-host sampler seed (shared with the library API)."""
+    from mcmda_tpu.train import drivers
+    return drivers.host_seed(seed)
 
 
 def _wrap_dp(cfg, make_step, args, **mk_kwargs):

@@ -62,10 +62,7 @@ def _parse_nifti_header(hdr: bytes, path: str) -> dict:
         pixdim = struct.unpack_from(f"{en}8f", hdr, 76)
         vox_offset = int(struct.unpack_from(f"{en}f", hdr, 108)[0])
         scl_slope, scl_inter = struct.unpack_from(f"{en}2f", hdr, 112)
-        qform_code = struct.unpack_from(f"{en}h", hdr, 252)[0]
         sform_code = struct.unpack_from(f"{en}h", hdr, 254)[0]
-        quat = (np.array(struct.unpack_from(f"{en}3f", hdr, 256), np.float64)
-                if qform_code > 0 else None)
         srow = (np.array(struct.unpack_from(f"{en}12f", hdr, 280),
                          np.float64).reshape(3, 4)
                 if sform_code > 0 else None)
@@ -81,10 +78,7 @@ def _parse_nifti_header(hdr: bytes, path: str) -> dict:
         pixdim = struct.unpack_from(f"{en}8d", hdr, 104)
         vox_offset = int(struct.unpack_from(f"{en}q", hdr, 168)[0])
         scl_slope, scl_inter = struct.unpack_from(f"{en}2d", hdr, 176)
-        qform_code = struct.unpack_from(f"{en}i", hdr, 344)[0]
         sform_code = struct.unpack_from(f"{en}i", hdr, 348)[0]
-        quat = (np.array(struct.unpack_from(f"{en}3d", hdr, 352), np.float64)
-                if qform_code > 0 else None)
         srow = (np.array(struct.unpack_from(f"{en}12d", hdr, 400),
                          np.float64).reshape(3, 4)
                 if sform_code > 0 else None)
@@ -99,45 +93,24 @@ def _parse_nifti_header(hdr: bytes, path: str) -> dict:
                 pixdim=np.asarray(pixdim, np.float64),
                 vox_offset=vox_offset, scl_slope=float(scl_slope),
                 scl_inter=float(scl_inter), endian=en, version=version,
-                srow=srow, quat=quat, detached=detached)
-
-
-def _quat_to_rotation(b: float, c: float, d: float) -> np.ndarray:
-    """NIfTI quaternion (b,c,d with a = sqrt(1-b^2-c^2-d^2)) -> 3x3 rotation.
-    Slightly-non-unit quaternions (header rounding) are renormalized, as
-    nibabel does."""
-    n = b * b + c * c + d * d
-    if n > 1.0:
-        s = 1.0 / np.sqrt(n)
-        b, c, d, a = b * s, c * s, d * s, 0.0
-    else:
-        a = np.sqrt(1.0 - n)
-    return np.array([
-        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
-        [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
-        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
-    ], np.float64)
+                srow=srow, detached=detached)
 
 
 def _zooms_from_header(h: dict) -> np.ndarray:
     """Voxel sizes, by the NIfTI method precedence: sform column norms when
-    present (robust to rotated/flipped orientation matrices), else the qform
-    affine's column norms (quaternion rotation x diag(pixdim) x qfac — the
-    documented source of truth for scanner-native files with qform_code>0,
-    sform_code=0), else |pixdim[1:4]|."""
+    present (robust to rotated/flipped/sheared orientation matrices — the
+    srow can encode zooms different from pixdim), else |pixdim[1:4]|.
+
+    The qform needs no separate computation: its affine is
+    ``rotation @ diag(pixdim * [1,1,qfac])`` with an ORTHONORMAL rotation
+    (unit quaternion, renormalized per the spec), so its column norms are
+    identically |pixdim| — for scanner-native files with qform_code>0,
+    sform_code=0 the pixdim branch below IS the qform-correct spacing."""
     if h["srow"] is not None:
         z = np.linalg.norm(h["srow"][:, :3], axis=0)
         if np.all(np.isfinite(z)) and np.all(z > 0):
             return z.astype(np.float32)
-    pix = np.abs(h["pixdim"][1:4]).astype(np.float64)
-    if h.get("quat") is not None and np.all(np.isfinite(h["quat"])):
-        qfac = -1.0 if h["pixdim"][0] == -1.0 else 1.0
-        rot = _quat_to_rotation(*h["quat"])
-        affine3 = rot @ np.diag(pix * np.array([1.0, 1.0, qfac]))
-        z = np.linalg.norm(affine3, axis=0)
-        if np.all(np.isfinite(z)) and np.all(z > 0):
-            return z.astype(np.float32)
-    return pix.astype(np.float32)
+    return np.abs(h["pixdim"][1:4]).astype(np.float32)
 
 
 def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -16,8 +16,13 @@ channels-first tensor (dense: lanes still hold W) where XLA fuses them with
 consumers; only the NHWC boundary transposes touch layout, and those move
 6/33 MB once per call.
 
-Used by models/segmenter.py when ``SegmenterConfig.stem_kernel='pallas_cf'``
-(shipped TPU configs).  The XLA oracle for parity tests is the stock
+Status: KEPT ALTERNATIVE, not the shipped path.  The space-to-depth
+execution (``ops/s2d.py``, ``SegmenterConfig.thin_layout='s2d'``, the
+default) measured faster on fwd+bwd and is what the segmenter uses; nothing
+in models/ calls this module — its consumers are the parity tests
+(tests/test_thin_conv.py) and scripts/bench_stem.py, and it documents the
+measured channels-first design point (docs/roadmap.md).  The XLA oracle for
+parity tests is the stock
 ``layers.conv_apply`` path.  Custom VJP: dw runs as a second channels-first
 kernel (27*K plane-multiply-reduces); dx is NOT computed by default — the
 stem is the network's first layer, nothing upstream is trainable — pass

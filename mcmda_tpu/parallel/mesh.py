@@ -7,6 +7,18 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_WARNED: set = set()
+
+
+def _warn_once(msg: str) -> None:
+    """stderr warning, deduped per process (mesh construction is cheap and
+    callers legitimately repeat it — the fallback warning should not)."""
+    import sys
+    if msg not in _WARNED:
+        _WARNED.add(msg)
+        print(msg, file=sys.stderr)
+
+
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
     """1-D mesh over ``num_devices`` devices (all by default).
 
@@ -23,14 +35,13 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
             except RuntimeError:
                 cpus = []
             if len(cpus) >= num_devices:
-                import sys
-                print(
+                _warn_once(
                     f"WARNING: make_mesh({num_devices}): default platform "
                     f"{devs[0].platform!r} has only {len(devs)} device(s); "
                     f"falling back to the VIRTUAL CPU platform ({len(cpus)} "
                     "devices). Fine for tests/dryruns — on real hardware "
                     "this means you are NOT training on the accelerator; "
-                    "check --dp against the chip count.", file=sys.stderr)
+                    "check --dp against the chip count.")
                 devs = cpus
             else:
                 raise ValueError(

@@ -27,6 +27,31 @@ def feed(sampler_pairs, prefetch: int = 2, sharding=None):
     return pipeline.prefetch_to_device(sampler_pairs, prefetch, sharding)
 
 
+def host_seed(seed: int) -> int:
+    """Per-host sampler seed: under multi-host each process must draw
+    DIFFERENT batches (otherwise the assembled global batch is N copies of
+    one host's draw and effective batch diversity silently drops N-fold)."""
+    import jax
+    return seed + 100003 * jax.process_index()
+
+
+def feed_plumbing(cfg, dp: int = 0):
+    """(per-host global batch size, feed transform) — the input half of
+    ``wrap_dp``, for callers that build their step separately (e.g. a
+    pretrain and a main step over one shared sampler stream)."""
+    import jax
+    if multihost_active():
+        from mcmda_tpu.parallel import multihost
+        mesh = multihost.global_mesh()
+        return cfg.data.batch_size * jax.local_device_count(), \
+            lambda s: (multihost.global_batch(b, mesh) for b in s)
+    if dp and dp > 1:
+        from mcmda_tpu.parallel import mesh as mesh_mod
+        shd = mesh_mod.batch_sharding(mesh_mod.make_mesh(dp))
+        return cfg.data.batch_size * dp, lambda s: feed(s, sharding=shd)
+    return cfg.data.batch_size, lambda s: feed(s)
+
+
 def pick_inner(*counts, cap: int = 50) -> int:
     """Largest dispatch-fusion factor <= cap dividing every phase length and
     the logging grain (so scanned steps land exactly on boundaries)."""

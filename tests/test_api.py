@@ -75,3 +75,50 @@ def test_api_dp_workflow(tiny_config, tmp_path):
     assert rec["signal"] == "class_ratio" and rec["weights"] == "live"
     table = api.evaluate(cfg, ad, ct_v[1:], ct_l[1:])
     assert "mean" in table
+
+
+def test_host_seed_differs_per_process(monkeypatch):
+    """Streaming feeds must draw DIFFERENT batches per host: api and CLI
+    share drivers.host_seed (review r3 — api previously passed the raw seed,
+    making every host sample identical batches under multihost)."""
+    import jax
+
+    from mcmda_tpu.train import drivers
+
+    seeds = set()
+    for rank in range(4):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        seeds.add(drivers.host_seed(7))
+    assert len(seeds) == 4
+
+
+def test_feed_plumbing_matches_wrap_dp(tiny_config):
+    """feed_plumbing (the input half used by api.adapt's streaming branch)
+    must agree with wrap_dp's per-host batch size for the same dp."""
+    from mcmda_tpu.train import adapt as adapt_mod, drivers
+
+    for dp in (0, 2):
+        per, _ = drivers.feed_plumbing(tiny_config, dp)
+        _, per_wrap, _ = drivers.wrap_dp(tiny_config,
+                                         adapt_mod.make_adapt_step, dp)
+        assert per == per_wrap
+
+
+def test_evaluate_applies_config_postprocess(tiny_config):
+    """api.evaluate honors run.eval_postprocess like the CLI: with 'cc' the
+    table carries the raw (unfiltered) table under 'raw'."""
+    import dataclasses
+
+    from mcmda_tpu import api
+    from mcmda_tpu.data import synthetic
+
+    mri_v, mri_l = synthetic.make_dataset(0, "mri", 1, 8, 32)
+    cfg = dataclasses.replace(
+        tiny_config,
+        source=dataclasses.replace(tiny_config.source, steps=2),
+        run=dataclasses.replace(tiny_config.run, eval_postprocess="cc"))
+    src = api.train_source(cfg, mri_v, mri_l, steps=2)
+    table = api.evaluate(cfg, src, mri_v, mri_l)
+    assert "raw" in table
+    raw_off = api.evaluate(cfg, src, mri_v, mri_l, postprocess="none")
+    assert "raw" not in raw_off

@@ -153,9 +153,11 @@ def test_random_byte_fuzz_never_segfaults(tmp_path):
 
 
 def test_qform_spacing_used_when_no_sform(tmp_path):
-    """qform_code>0, sform_code=0 (scanner-native): spacing comes from the
-    quaternion affine's column norms — for a pure rotation x diag(pixdim)
-    that equals |pixdim| including qfac=-1 (ADVICE r2)."""
+    """qform_code>0, sform_code=0 (scanner-native): the qform affine is an
+    ORTHONORMAL rotation x diag(pixdim x qfac), so its column norms are
+    identically |pixdim| — the loader documents and relies on that
+    equivalence instead of computing the no-op quaternion (ADVICE r2; the
+    header here carries a nontrivial rotation + qfac=-1 to pin it)."""
     hdr = bytearray(_hdr1((6, 5, 4), pixdim=(1.5, 2.0, 2.5)))
     struct.pack_into("<f", hdr, 76, -1.0)  # pixdim[0] = qfac = -1
     struct.pack_into("<h", hdr, 252, 1)    # qform_code
@@ -168,7 +170,7 @@ def test_qform_spacing_used_when_no_sform(tmp_path):
     np.testing.assert_allclose(data, DATA, rtol=1e-6)
 
 
-def test_qform_nonfinite_quat_falls_back_to_pixdim(tmp_path):
+def test_qform_nonfinite_quat_spacing_is_pixdim(tmp_path):
     hdr = bytearray(_hdr1((6, 5, 4), pixdim=(1.0, 1.0, 3.0)))
     struct.pack_into("<h", hdr, 252, 1)
     struct.pack_into("<3f", hdr, 256, np.nan, 0.0, 0.0)
