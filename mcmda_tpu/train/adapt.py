@@ -200,16 +200,28 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
                                    new_opt, state.opt_d_state)
         new_critic = jax.tree.map(lambda p, u: p + u, state.critic_params,
                                   updates)
-        # observability: linear-MMD distance between source and target tap
-        # statistics (channel means) — a label-free adaptation-progress
-        # signal complementing d_acc (per-shard under DP; monitoring only)
-        fd = jnp.mean(jnp.asarray([
-            jnp.mean(jnp.square(
-                jnp.mean(f_src[t].astype(jnp.float32), axis=(0, 1, 2))
-                - jnp.mean(f_tgt[t].astype(jnp.float32), axis=(0, 1, 2))))
-            for t in cr_cfg.taps]))
+        # observability: feature-space divergence between source and target
+        # tap statistics — label-free adaptation-progress signals
+        # complementing d_acc (per-shard under DP; monitoring only).
+        #   feat_div: first moments only (channel means), the r2 signal;
+        #   feat_mmd: linear-kernel MMD^2 with phi(x)=(x, x^2) — adds the
+        #   second moment, so a DAM that matches means but not variances
+        #   (a common partial-alignment failure) still reads as distant.
+        def _moments(f):
+            x = f.astype(jnp.float32)
+            return jnp.mean(x, axis=(0, 1, 2)), \
+                jnp.mean(jnp.square(x), axis=(0, 1, 2))
+
+        fd = ft = 0.0
+        for t in cr_cfg.taps:
+            mu_s, m2_s = _moments(f_src[t])
+            mu_t, m2_t = _moments(f_tgt[t])
+            fd = fd + jnp.mean(jnp.square(mu_s - mu_t))
+            ft = ft + jnp.mean(jnp.square(m2_s - m2_t))
+        fd = fd / len(cr_cfg.taps)
+        fmmd = fd + ft / len(cr_cfg.taps)
         return state.replace(critic_params=new_critic, opt_d_state=new_opt), \
-            {"d_loss": dl, "d_acc": acc, "feat_div": fd}
+            {"d_loss": dl, "d_acc": acc, "feat_div": fd, "feat_mmd": fmmd}
 
     def g_step(state: AdaptState, x_tgt):
         def loss(dam_params):

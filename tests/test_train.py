@@ -515,3 +515,30 @@ def test_selective_precision_adapt_step(tiny_config):
         state, batch, jax.random.key(2))
     assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(s1.dam_params))
+
+
+def test_feat_mmd_sees_variance_mismatch(adapt_setup):
+    """feat_mmd (linear MMD^2 with phi=(x, x^2)) must flag a target path
+    whose tap features match the source's channel MEANS but not variances —
+    the partial-alignment failure the first-moment feat_div is blind to.
+    Both metrics come out of a real adapt step; here we check the math on
+    the same formula the step computes."""
+    cfg, state, batch = adapt_setup
+    step = adapt.make_adapt_step(cfg)
+    _, metrics = step(state, batch, jax.random.key(0))
+    assert float(metrics["feat_mmd"]) >= float(metrics["feat_div"]) >= 0.0
+
+    # direct formula check: same means, different variances
+    k = jax.random.key(1)
+    f_src = jax.random.normal(k, (4, 8, 8, 16))
+    f_tgt = f_src * 2.0 - jnp.mean(f_src * 2.0, axis=(0, 1, 2),
+                                   keepdims=True) \
+        + jnp.mean(f_src, axis=(0, 1, 2), keepdims=True)
+    mu_s = jnp.mean(f_src, axis=(0, 1, 2))
+    mu_t = jnp.mean(f_tgt, axis=(0, 1, 2))
+    m2_s = jnp.mean(jnp.square(f_src), axis=(0, 1, 2))
+    m2_t = jnp.mean(jnp.square(f_tgt), axis=(0, 1, 2))
+    fd = float(jnp.mean(jnp.square(mu_s - mu_t)))      # ~0: means match
+    ft = float(jnp.mean(jnp.square(m2_s - m2_t)))      # >0: variances differ
+    assert fd < 1e-8
+    assert ft > 1e-3
