@@ -218,6 +218,39 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
     return state
 
 
+def _forward_for(cfg: ExperimentConfig, state):
+    """Jitted eval forward for a source or adapted state (dispatch on
+    type) — shared by evaluate and predict."""
+    if isinstance(state, adapt_mod.AdaptState):
+        return jax.jit(lambda img: adapt_mod.adapted_forward(cfg)(state, img))
+    return jax.jit(lambda img: source_mod.make_eval_forward(cfg)(
+        state.params, state.bn_state, img))
+
+
+def predict(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray], *,
+            postprocess: str | None = None) -> list[np.ndarray]:
+    """Serving: per-volume segmentation masks [S,H,W] uint8 (argmax labels)
+    for unlabeled volumes — each volume is ONE scanned device dispatch (E1).
+
+    ``postprocess`` as in :func:`evaluate` (defaults to
+    ``cfg.run.eval_postprocess``).  Write results with
+    ``mcmda_tpu.data.volumes.save_volume`` or via the ``predict`` CLI."""
+    from mcmda_tpu.data import splits
+    from mcmda_tpu.evaluation import inference, postprocess as pp_mod
+    pp = pp_mod.get(postprocess if postprocess is not None
+                    else cfg.run.eval_postprocess)
+    fwd = _forward_for(cfg, state)
+    preds = []
+    for vol in volumes:
+        pred = inference.predict_volume(fwd, vol,
+                                        context=cfg.data.context_slices,
+                                        batch_size=cfg.data.batch_size)
+        if pp is not None:
+            pred = pp(pred, splits.STRUCTURES)
+        preds.append(pred.astype(np.uint8))
+    return preds
+
+
 def evaluate(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray],
              labels: Sequence[np.ndarray], *, spacing=None,
              postprocess: str | None = None) -> dict:
@@ -231,11 +264,7 @@ def evaluate(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray],
     from mcmda_tpu.evaluation import postprocess as pp_mod
     pp = pp_mod.get(postprocess if postprocess is not None
                     else cfg.run.eval_postprocess)
-    if isinstance(state, adapt_mod.AdaptState):
-        fwd = jax.jit(lambda img: adapt_mod.adapted_forward(cfg)(state, img))
-    else:
-        fwd = jax.jit(lambda img: source_mod.make_eval_forward(cfg)(
-            state.params, state.bn_state, img))
+    fwd = _forward_for(cfg, state)
     return report.evaluate_volumes(fwd, volumes, labels,
                                    context=cfg.data.context_slices,
                                    batch_size=cfg.data.batch_size,

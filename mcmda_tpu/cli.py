@@ -445,51 +445,57 @@ def _selected_weights(ckpt_path: str) -> str | None:
     return None
 
 
-def cmd_evaluate(args):
+def _restore_eval_forward(cfg, args):
+    """Restore the checkpoint named by ``args.ckpt`` (already resolved) and
+    build the jitted eval forward — source-only or adapted, honoring
+    ``--weights`` variant resolution and the fused-Pallas eval path.  Shared
+    by ``evaluate`` and ``predict``."""
     import jax
-    from mcmda_tpu.data import splits
-    from mcmda_tpu.evaluation import report
     from mcmda_tpu.models import segmenter
     from mcmda_tpu.train import adapt, source
     from mcmda_tpu.utils import checkpoint
 
-    cfg = _load_config(args.config, args.set)
-    args.ckpt = _resolve_ckpt(args.ckpt)
-    _, _, (test_vols, test_labs) = _get_data(args, cfg, args.direction)
     if args.source_only:
         state = source.init_state(jax.random.key(0), cfg)
         state = checkpoint.restore(args.ckpt, state)
         if cfg.run.use_pallas:
-            fwd = jax.jit(lambda img: segmenter.apply_fused_eval(
+            return jax.jit(lambda img: segmenter.apply_fused_eval(
                 state.params, state.bn_state, img, cfg.segmenter)[1])
-        else:
-            fwd = jax.jit(lambda img: source.make_eval_forward(cfg)(
-                state.params, state.bn_state, img))
+        return jax.jit(lambda img: source.make_eval_forward(cfg)(
+            state.params, state.bn_state, img))
+    src_state = source.init_state(jax.random.key(0), cfg)
+    state = adapt.init_state(jax.random.key(1), cfg, src_state.params,
+                             src_state.bn_state)
+    state = checkpoint.restore(args.ckpt, state)
+    if args.weights == "auto":
+        # prefer the variant the selection probe actually ranked best
+        # (selection.json "weights", written by the adapt driver); fall
+        # back to the dam_ema heuristic for pre-selection checkpoints
+        rec = _selected_weights(args.ckpt)
+        use_avg = (rec == "avg") if rec is not None \
+            else cfg.adapt.dam_ema > 0
     else:
-        src_state = source.init_state(jax.random.key(0), cfg)
-        state = adapt.init_state(jax.random.key(1), cfg, src_state.params,
-                                 src_state.bn_state)
-        state = checkpoint.restore(args.ckpt, state)
-        if args.weights == "auto":
-            # prefer the variant the selection probe actually ranked best
-            # (selection.json "weights", written by the adapt driver); fall
-            # back to the dam_ema heuristic for pre-selection checkpoints
-            rec = _selected_weights(args.ckpt)
-            use_avg = (rec == "avg") if rec is not None \
-                else cfg.adapt.dam_ema > 0
-        else:
-            use_avg = args.weights == "avg"
-        if use_avg:
-            print("evaluating EMA-averaged DAM weights "
-                  f"(adapt.dam_ema={cfg.adapt.dam_ema})")
-        if cfg.run.use_pallas:
-            dam, bn = adapt.eval_weights(state, use_avg)
-            fwd = jax.jit(lambda img: segmenter.apply_fused_eval(
-                state.src_params, bn, img, cfg.segmenter,
-                dam_params=dam, plug_depth=cfg.adapt.plug_depth)[1])
-        else:
-            fwd = jax.jit(lambda img: adapt.adapted_forward(
-                cfg, use_avg=use_avg)(state, img))
+        use_avg = args.weights == "avg"
+    if use_avg:
+        print("evaluating EMA-averaged DAM weights "
+              f"(adapt.dam_ema={cfg.adapt.dam_ema})")
+    if cfg.run.use_pallas:
+        dam, bn = adapt.eval_weights(state, use_avg)
+        return jax.jit(lambda img: segmenter.apply_fused_eval(
+            state.src_params, bn, img, cfg.segmenter,
+            dam_params=dam, plug_depth=cfg.adapt.plug_depth)[1])
+    return jax.jit(lambda img: adapt.adapted_forward(
+        cfg, use_avg=use_avg)(state, img))
+
+
+def cmd_evaluate(args):
+    from mcmda_tpu.data import splits
+    from mcmda_tpu.evaluation import report
+
+    cfg = _load_config(args.config, args.set)
+    args.ckpt = _resolve_ckpt(args.ckpt)
+    _, _, (test_vols, test_labs) = _get_data(args, cfg, args.direction)
+    fwd = _restore_eval_forward(cfg, args)
     from mcmda_tpu.evaluation import postprocess as pp_mod
     pp = pp_mod.get(args.postprocess if args.postprocess is not None
                     else cfg.run.eval_postprocess)
@@ -507,6 +513,66 @@ def cmd_evaluate(args):
         with open(args.json_out, "w") as f:
             json.dump(agg, f, indent=2)
     return agg
+
+
+_PREDICT_EXTS = (".nii", ".nii.gz", ".hdr", ".img", ".img.gz", ".npz",
+                 ".npy")
+
+
+def cmd_predict(args):
+    """Serving path: segmentation masks for UNLABELED volumes, written to
+    disk (NIfTI/npz/npy, matching the input format by default) — the
+    deployment counterpart of ``evaluate`` (which needs labels).  One
+    scanned device dispatch per volume (E1)."""
+    from mcmda_tpu.data import splits, volumes as vio
+    from mcmda_tpu.evaluation import inference, postprocess as pp_mod
+
+    cfg = _load_config(args.config, args.set)
+    args.ckpt = _resolve_ckpt(args.ckpt)
+    fwd = _restore_eval_forward(cfg, args)
+    pp = pp_mod.get(args.postprocess if args.postprocess is not None
+                    else cfg.run.eval_postprocess)
+
+    paths = []
+    for inp in args.input:
+        if os.path.isdir(inp):
+            paths.extend(sorted(
+                os.path.join(inp, f) for f in os.listdir(inp)
+                if f.endswith(_PREDICT_EXTS)))
+        else:
+            paths.append(inp)
+    if not paths:
+        raise SystemExit(f"predict: no input volumes found in {args.input}")
+    os.makedirs(args.out, exist_ok=True)
+
+    written = []
+    for p in paths:
+        vol, spacing = vio.load_volume_with_spacing(p)
+        if not args.no_normalize:
+            vol = vio.normalize_volume(vol)
+        pred = inference.predict_volume(
+            fwd, vol, context=cfg.data.context_slices,
+            batch_size=cfg.data.batch_size)
+        if pp is not None:
+            pred = pp(pred, splits.STRUCTURES)
+        base = os.path.basename(p)
+        for e in _PREDICT_EXTS:
+            if base.endswith(e):
+                stem = base[: -len(e)]
+                # NIfTI-family inputs (incl. detached .hdr/.img) write
+                # single-file .nii.gz; npz/npy keep their format
+                ext = args.format or (
+                    ".nii.gz" if e.startswith((".nii", ".hdr", ".img"))
+                    else e)
+                break
+        out_path = os.path.join(args.out, f"{stem}_pred{ext}")
+        vio.save_volume(out_path, pred.astype(np.uint8), spacing)
+        vox = {splits.STRUCTURES.get(c, str(c)): int(n)
+               for c, n in zip(*np.unique(pred, return_counts=True))
+               if c != 0}
+        print(f"{p} -> {out_path}  {vox}", flush=True)
+        written.append(out_path)
+    return written
 
 
 def build_parser():
@@ -567,6 +633,33 @@ def build_parser():
                          "lineage's practice) or none; default "
                          "run.eval_postprocess")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser(
+        "predict", help="serving: write segmentation masks for unlabeled "
+                        "volumes (NIfTI/npz/npy)")
+    sp.add_argument("--config", default=None,
+                    help="ExperimentConfig JSON (default: built-in)")
+    sp.add_argument("--set", action="append", metavar="K.EY=VAL",
+                    help="config override, e.g. run.use_pallas=true")
+    sp.add_argument("--ckpt", required=True,
+                    help="run dir (resolves selection.json) or checkpoint")
+    sp.add_argument("--input", required=True, nargs="+",
+                    help="volume file(s) or directory of volumes")
+    sp.add_argument("--out", required=True, help="output directory")
+    sp.add_argument("--source-only", action="store_true",
+                    help="use the source segmenter (no DAM)")
+    sp.add_argument("--weights", default="auto",
+                    choices=["auto", "live", "avg"])
+    sp.add_argument("--postprocess", default=None, choices=["none", "cc"],
+                    help="default: run.eval_postprocess")
+    sp.add_argument("--format", default=None,
+                    choices=[".nii", ".nii.gz", ".npz", ".npy"],
+                    help="output format (default: match the input)")
+    sp.add_argument("--no-normalize", action="store_true",
+                    help="input volumes are already normalized (benchmark "
+                         "releases); default applies the training-time "
+                         "per-volume normalization")
+    sp.set_defaults(fn=cmd_predict)
     return p
 
 

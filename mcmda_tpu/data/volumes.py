@@ -153,6 +153,71 @@ def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return data, _zooms_from_header(h)
 
 
+def save_nifti(path: str, vol: np.ndarray, spacing=None) -> None:
+    """Minimal NIfTI-1 writer (single-file .nii / .nii.gz) for prediction
+    export — the inverse of :func:`load_nifti` for the subset this framework
+    produces (the reference shipped no writer; its eval printed metrics
+    only, SURVEY E2).
+
+    ``vol`` is in the internal [S,H,W] = file (z,x,y) order (what
+    ``load_volume_with_spacing`` returns); it is stored transposed back to
+    file (x,y,z) order so third-party viewers (and our loader) agree.
+    ``spacing`` is the internal (slice,row,col) spacing triple; written to
+    pixdim AND an sform (code 1) so both spacing paths round-trip.
+    Integer volumes (segmentation masks) store as uint8 when they fit,
+    int32 otherwise; floats store as float32."""
+    vol = np.asarray(vol)
+    if vol.ndim != 3:
+        raise ValueError(f"save_nifti expects [S,H,W], got {vol.shape}")
+    if np.issubdtype(vol.dtype, np.integer) or np.issubdtype(
+            vol.dtype, np.bool_):
+        as_int = vol.astype(np.int64)
+        dt, code = ((np.uint8, 2) if (as_int.min() >= 0
+                                      and as_int.max() <= 255)
+                    else (np.int32, 8))
+    else:
+        dt, code = np.float32, 16
+    data = np.moveaxis(vol, 0, -1).astype(dt)  # (z,x,y) -> (x,y,z)
+    sp = (np.ones(3, np.float64) if spacing is None
+          else np.asarray(spacing, np.float64))
+    zooms = np.array([sp[1], sp[2], sp[0]])  # (s,h,w) -> (x,y,z)
+
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, *data.shape, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, code)
+    struct.pack_into("<h", hdr, 72, np.dtype(dt).itemsize * 8)  # bitpix
+    struct.pack_into("<8f", hdr, 76, 1.0, *zooms, 0.0, 0.0, 0.0, 0.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<2f", hdr, 112, 1.0, 0.0)  # scl
+    struct.pack_into("<h", hdr, 254, 1)  # sform_code
+    srow = np.zeros((3, 4), np.float32)
+    srow[:, :3] = np.diag(zooms)
+    struct.pack_into("<12f", hdr, 280, *srow.reshape(-1))
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(payload)
+
+
+def save_volume(path: str, vol: np.ndarray, spacing=None) -> None:
+    """Save [S,H,W] by extension: .nii/.nii.gz (NIfTI-1), .npz (with a
+    'spacing' key), or .npy (spacing dropped)."""
+    if path.endswith((".nii", ".nii.gz")):
+        save_nifti(path, vol, spacing)
+    elif path.endswith(".npz"):
+        np.savez_compressed(
+            path, volume=vol,
+            spacing=np.asarray(spacing if spacing is not None
+                               else np.ones(3), np.float32))
+    elif path.endswith(".npy"):
+        np.save(path, vol)
+    else:
+        raise ValueError(f"unsupported volume extension: {path}")
+
+
 def load_volume(path: str, key: str | None = None) -> np.ndarray:
     """Load a 3D volume from .npz/.npy/.nii/.nii.gz as float32 [S,H,W]."""
     return load_volume_with_spacing(path, key)[0]

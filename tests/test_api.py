@@ -122,3 +122,23 @@ def test_evaluate_applies_config_postprocess(tiny_config):
     assert "raw" in table
     raw_off = api.evaluate(cfg, src, mri_v, mri_l, postprocess="none")
     assert "raw" not in raw_off
+
+
+def test_api_predict_matches_eval_forward(tiny_config):
+    """api.predict (serving masks) agrees with the forward evaluate uses."""
+    import numpy as np
+
+    from mcmda_tpu import api
+    from mcmda_tpu.data import synthetic
+    from mcmda_tpu.evaluation import inference
+
+    mri_v, mri_l = synthetic.make_dataset(0, "mri", 1, 8, 32)
+    src = api.train_source(tiny_config, mri_v, mri_l, steps=2)
+    preds = api.predict(tiny_config, src, mri_v, postprocess="none")
+    assert len(preds) == 1 and preds[0].shape == mri_v[0].shape
+    assert preds[0].dtype == np.uint8
+    ref = inference.predict_volume(
+        api._forward_for(tiny_config, src), mri_v[0],
+        context=tiny_config.data.context_slices,
+        batch_size=tiny_config.data.batch_size)
+    np.testing.assert_array_equal(preds[0], ref.astype(np.uint8))

@@ -56,6 +56,9 @@ def test_parser_subcommands():
     assert a.direction == "ct2mri"
     a = p.parse_args(["evaluate", "--ckpt", "c", "--source-only"])
     assert a.source_only
+    a = p.parse_args(["predict", "--ckpt", "c", "--input", "a.nii", "b.npz",
+                      "--out", "o"])
+    assert a.fn is cli.cmd_predict and a.input == ["a.nii", "b.npz"]
 
 
 def test_mmwhs_layout(tmp_path):
@@ -190,3 +193,46 @@ def test_synthetic_e2e_example_smoke(tmp_path):
     assert out.returncode in (0, 1), out.stderr[-2000:]
     assert "E2E RESULT:" in out.stdout
     assert "summary: MRI dice=" in out.stdout
+
+
+def test_cli_predict_writes_masks(tmp_path):
+    """Serving path: train a tiny source net, then `predict` on unlabeled
+    NIfTI + npz volumes — masks land on disk in the matching formats, load
+    back as integer label volumes, and preserve voxel spacing."""
+    import numpy as np
+
+    from mcmda_tpu.data import volumes as vio
+
+    src_out = str(tmp_path / "src")
+    common = ["--synthetic", "--synthetic-volumes", "2",
+              "--config", os.path.join(
+                  os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                  "configs", "smoke.json"),
+              "--set", "data.slice_size=32", "--set", "data.batch_size=2",
+              "--set", "run.log_every=0", "--set", "run.donate=false"]
+    rc = cli.main(["train-source", *common, "--set", "source.steps=4",
+                   "--set", "run.ckpt_every=0", "--out", src_out])
+    assert rc in (0, None)
+
+    vol = np.random.default_rng(0).normal(size=(6, 32, 32)).astype(np.float32)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    vio.save_nifti(str(in_dir / "case7.nii.gz"), vol,
+                   np.array([2.0, 1.0, 1.0]))
+    vio.save_volume(str(in_dir / "case8.npz"), vol)
+    out_dir = str(tmp_path / "preds")
+
+    rc = cli.main(["predict", "--config", common[4], "--ckpt", src_out,
+                   "--source-only", "--input", str(in_dir), "--out", out_dir,
+                   "--set", "data.slice_size=32", "--set",
+                   "data.batch_size=2", "--postprocess", "none"])
+    assert rc in (0, None)
+
+    mask, sp = vio.load_volume_with_spacing(
+        os.path.join(out_dir, "case7_pred.nii.gz"))
+    assert mask.shape == vol.shape
+    assert set(np.unique(mask)) <= set(range(5))
+    np.testing.assert_allclose(sp, [2.0, 1.0, 1.0])
+    mask2, _ = vio.load_volume_with_spacing(
+        os.path.join(out_dir, "case8_pred.npz"))
+    assert mask2.shape == vol.shape

@@ -188,3 +188,41 @@ def test_scl_slope_applied_with_nan_inter(tmp_path):
            + b"\x00" * 4 + _body(DATA))
     data, _ = volumes.load_nifti(str(p))
     np.testing.assert_allclose(data, DATA * 2.5, rtol=1e-6)
+
+
+def test_save_nifti_roundtrip_mask_and_spacing(tmp_path):
+    """Writer inverse of the loader: uint8 mask + spacing survive .nii and
+    .nii.gz round-trips (prediction-export path)."""
+    rng = np.random.default_rng(0)
+    mask = rng.integers(0, 5, size=(5, 7, 6)).astype(np.int32)
+    sp = np.array([3.0, 0.5, 1.25], np.float32)
+    for name in ("m.nii", "m.nii.gz"):
+        p = str(tmp_path / name)
+        volumes.save_nifti(p, mask, sp)
+        rv, rsp = volumes.load_volume_with_spacing(p)
+        np.testing.assert_allclose(rv, mask)
+        np.testing.assert_allclose(rsp, sp, rtol=1e-6)
+
+
+def test_save_nifti_dtype_selection(tmp_path):
+    """uint8 for small non-negative ints, int32 when out of uint8 range,
+    float32 for floats — all load back exactly."""
+    cases = [
+        np.arange(24).reshape(2, 3, 4).astype(np.int64) * 20,   # >255 -> i32
+        (np.arange(24).reshape(2, 3, 4) % 5).astype(np.uint8),  # u8
+        np.linspace(-1, 1, 24).reshape(2, 3, 4).astype(np.float32),
+    ]
+    for i, v in enumerate(cases):
+        p = str(tmp_path / f"c{i}.nii")
+        volumes.save_nifti(p, v)
+        rv, _ = volumes.load_volume_with_spacing(p)
+        np.testing.assert_allclose(rv, v.astype(np.float32), rtol=1e-6)
+
+
+def test_save_volume_npz_roundtrip(tmp_path):
+    p = str(tmp_path / "v.npz")
+    v = np.random.default_rng(1).normal(size=(3, 4, 5)).astype(np.float32)
+    volumes.save_volume(p, v, [2.0, 1.0, 1.0])
+    rv, rsp = volumes.load_volume_with_spacing(p)
+    np.testing.assert_allclose(rv, v)
+    np.testing.assert_allclose(rsp, [2.0, 1.0, 1.0])
