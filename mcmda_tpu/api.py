@@ -228,18 +228,22 @@ def _forward_for(cfg: ExperimentConfig, state):
 
 
 def predict(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray], *,
-            postprocess: str | None = None) -> list[np.ndarray]:
+            postprocess: str | None = None,
+            tta: str | None = None) -> list[np.ndarray]:
     """Serving: per-volume segmentation masks [S,H,W] uint8 (argmax labels)
     for unlabeled volumes — each volume is ONE scanned device dispatch (E1).
 
-    ``postprocess`` as in :func:`evaluate` (defaults to
-    ``cfg.run.eval_postprocess``).  Write results with
+    ``postprocess`` / ``tta`` as in :func:`evaluate` (defaulting to
+    ``cfg.run.eval_postprocess`` / ``cfg.run.eval_tta``).  Write results with
     ``mcmda_tpu.data.volumes.save_volume`` or via the ``predict`` CLI."""
     from mcmda_tpu.data import splits
     from mcmda_tpu.evaluation import inference, postprocess as pp_mod
     pp = pp_mod.get(postprocess if postprocess is not None
                     else cfg.run.eval_postprocess)
     fwd = _forward_for(cfg, state)
+    wrap = inference.get_tta(tta if tta is not None else cfg.run.eval_tta)
+    if wrap is not None:
+        fwd = wrap(fwd)
     preds = []
     for vol in volumes:
         pred = inference.predict_volume(fwd, vol,
@@ -253,18 +257,25 @@ def predict(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray], *,
 
 def evaluate(cfg: ExperimentConfig, state, volumes: Sequence[np.ndarray],
              labels: Sequence[np.ndarray], *, spacing=None,
-             postprocess: str | None = None) -> dict:
+             postprocess: str | None = None, tta: str | None = None) -> dict:
     """Configs 1+5: 3D-stitched Dice/ASSD table for a source or adapted
     state (dispatches on the state type).
 
     ``postprocess``: "none"/"cc" — defaults to ``cfg.run.eval_postprocess``,
     exactly like ``evaluate`` on the CLI (the shipped benchmark configs set
     "cc", the largest-connected-component filter; the raw table is kept
-    under the returned dict's ``"raw"`` key)."""
-    from mcmda_tpu.evaluation import postprocess as pp_mod
+    under the returned dict's ``"raw"`` key).
+
+    ``tta``: "none"/"flip" test-time augmentation — defaults to
+    ``cfg.run.eval_tta`` (flip averages probabilities over the horizontal
+    flip, ``evaluation.inference.tta_flip``)."""
+    from mcmda_tpu.evaluation import inference, postprocess as pp_mod
     pp = pp_mod.get(postprocess if postprocess is not None
                     else cfg.run.eval_postprocess)
     fwd = _forward_for(cfg, state)
+    wrap = inference.get_tta(tta if tta is not None else cfg.run.eval_tta)
+    if wrap is not None:
+        fwd = wrap(fwd)
     return report.evaluate_volumes(fwd, volumes, labels,
                                    context=cfg.data.context_slices,
                                    batch_size=cfg.data.batch_size,

@@ -496,7 +496,11 @@ def cmd_evaluate(args):
     args.ckpt = _resolve_ckpt(args.ckpt)
     _, _, (test_vols, test_labs) = _get_data(args, cfg, args.direction)
     fwd = _restore_eval_forward(cfg, args)
-    from mcmda_tpu.evaluation import postprocess as pp_mod
+    from mcmda_tpu.evaluation import inference, postprocess as pp_mod
+    tta = inference.get_tta(args.tta if args.tta is not None
+                            else cfg.run.eval_tta)
+    if tta is not None:
+        fwd = tta(fwd)
     pp = pp_mod.get(args.postprocess if args.postprocess is not None
                     else cfg.run.eval_postprocess)
     agg = report.evaluate_volumes(fwd, test_vols, test_labs,
@@ -515,8 +519,8 @@ def cmd_evaluate(args):
     return agg
 
 
-_PREDICT_EXTS = (".nii", ".nii.gz", ".hdr", ".img", ".img.gz", ".npz",
-                 ".npy")
+_PREDICT_EXTS = (".nii", ".nii.gz", ".hdr", ".hdr.gz", ".img", ".img.gz",
+                 ".npz", ".npy")
 
 
 def cmd_predict(args):
@@ -530,6 +534,10 @@ def cmd_predict(args):
     cfg = _load_config(args.config, args.set)
     args.ckpt = _resolve_ckpt(args.ckpt)
     fwd = _restore_eval_forward(cfg, args)
+    tta = inference.get_tta(args.tta if args.tta is not None
+                            else cfg.run.eval_tta)
+    if tta is not None:
+        fwd = tta(fwd)
     pp = pp_mod.get(args.postprocess if args.postprocess is not None
                     else cfg.run.eval_postprocess)
 
@@ -632,6 +640,9 @@ def build_parser():
                          "component per structure (cc, the benchmark "
                          "lineage's practice) or none; default "
                          "run.eval_postprocess")
+    sp.add_argument("--tta", default=None, choices=["none", "flip"],
+                    help="test-time augmentation: average probabilities "
+                         "over the horizontal flip; default run.eval_tta")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser(
@@ -652,6 +663,8 @@ def build_parser():
                     choices=["auto", "live", "avg"])
     sp.add_argument("--postprocess", default=None, choices=["none", "cc"],
                     help="default: run.eval_postprocess")
+    sp.add_argument("--tta", default=None, choices=["none", "flip"],
+                    help="default: run.eval_tta")
     sp.add_argument("--format", default=None,
                     choices=[".nii", ".nii.gz", ".npz", ".npy"],
                     help="output format (default: match the input)")

@@ -243,6 +243,10 @@ class RunConfig:
     # distant false-positive islands that blow up ASSD), "none" reports raw
     # predictions.  evaluate --postprocess overrides.
     eval_postprocess: str = "none"
+    # Test-time augmentation at eval/serving: "flip" averages class
+    # probabilities over the horizontal flip (2 forwards/slice; training
+    # draws flips too, data.flip).  evaluate/predict --tta overrides.
+    eval_tta: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

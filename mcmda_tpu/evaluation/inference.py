@@ -67,6 +67,43 @@ def _sharded_forward(forward, mesh, axis: str, n_args: int):
     return f
 
 
+_tta_cache = {}
+
+
+def tta_flip(forward):
+    """Test-time augmentation wrapper: average class probabilities over the
+    horizontal flip (W axis of [B,H,W,ctx] inputs).
+
+    Flip is the one shipped augmentation whose transform maps the pixel grid
+    onto itself exactly (no resampling), and training draws it too
+    (``config.data.flip``), so the model sees both chiralities — averaging
+    the two softmaxes is the benchmark lineage's standard variance-reduction
+    trick at eval.  Costs a second forward per slice.  Memoized per forward
+    object so ``predict_volume``'s scan/compile caches stay warm across
+    volumes and checkpoints.
+    """
+    f = _tta_cache.get(forward)
+    if f is None:
+        def f(xb, *fargs):
+            p = forward(xb, *fargs)
+            pf = forward(xb[:, :, ::-1, :], *fargs)
+            return 0.5 * (p + pf[:, :, ::-1, :])
+        while len(_tta_cache) >= _SCAN_CACHE_MAX:
+            del _tta_cache[next(iter(_tta_cache))]
+        _tta_cache[forward] = f
+    return f
+
+
+def get_tta(name: str | None):
+    """Resolve a TTA mode name to a forward wrapper (or None for "none") —
+    mirrors ``evaluation.postprocess.get``."""
+    if name in (None, "", "none"):
+        return None
+    if name == "flip":
+        return tta_flip
+    raise ValueError(f"unknown TTA mode {name!r} (expected none|flip)")
+
+
 def predict_volume(forward, volume: np.ndarray, *, context: int = 3,
                    batch_size: int = 8, single_dispatch: bool = True,
                    fwd_args: tuple = (), mesh=None,

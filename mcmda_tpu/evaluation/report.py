@@ -25,9 +25,12 @@ def _metrics_one(pred, lab, structures, sp):
         np.asarray(lab.shape, np.float64)
         * (np.ones(3) if sp is None else np.asarray(sp, np.float64))))
     for name in structures.values():
+        # assd and hd95 come from the same pooled distance arrays, so they
+        # go infinite together (either surface empty)
         pv[name]["assd_miss"] = bool(np.isinf(pv[name]["assd"]))
         if pv[name]["assd_miss"]:
             pv[name]["assd"] = diag
+            pv[name]["hd95"] = diag
     return pv
 
 
@@ -37,13 +40,18 @@ def _aggregate(per_vol, structures):
         dices = [pv[name]["dice"] for pv in per_vol]
         assds = [pv[name]["assd"] for pv in per_vol
                  if np.isfinite(pv[name]["assd"])]  # nan = truth empty
+        hd95s = [pv[name]["hd95"] for pv in per_vol
+                 if np.isfinite(pv[name]["hd95"])]
         agg[name] = {"dice": float(np.mean(dices)),
                      "assd": float(np.mean(assds)) if assds else float("nan"),
+                     "hd95": float(np.mean(hd95s)) if hd95s else float("nan"),
                      "assd_misses": int(sum(pv[name]["assd_miss"]
                                             for pv in per_vol))}
     agg["mean"] = {
         "dice": float(np.mean([agg[n]["dice"] for n in structures.values()])),
         "assd": float(np.nanmean([agg[n]["assd"]
+                                  for n in structures.values()])),
+        "hd95": float(np.nanmean([agg[n]["hd95"]
                                   for n in structures.values()])),
         "assd_misses": int(sum(agg[n]["assd_misses"]
                                for n in structures.values())),
@@ -90,9 +98,11 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
 
 def format_table(agg: dict) -> str:
     names = [n for n in agg if n not in ("mean", "raw")] + ["mean"]
-    lines = [f"{'structure':>10} {'Dice':>8} {'ASSD':>8} {'miss':>5}"]
+    lines = [f"{'structure':>10} {'Dice':>8} {'ASSD':>8} {'HD95':>8} "
+             f"{'miss':>5}"]
     for n in names:
         miss = agg[n].get("assd_misses", 0)
+        hd = agg[n].get("hd95", float("nan"))
         lines.append(f"{n:>10} {agg[n]['dice'] * 100:8.1f} "
-                     f"{agg[n]['assd']:8.2f} {miss:5d}")
+                     f"{agg[n]['assd']:8.2f} {hd:8.2f} {miss:5d}")
     return "\n".join(lines)

@@ -14,9 +14,9 @@ def dice_per_class(pred_labels, true_labels, num_classes: int):
     """Hard Dice per class from integer label maps (any shape, jittable).
 
     Returns [num_classes] f32; classes absent from BOTH pred and truth get
-    Dice 1.0 (medpy's dc convention would be 0/0 -> error; the benchmark
-    always evaluates structures present in the ground truth, so this only
-    affects synthetic edge cases).
+    Dice 0.0 — medpy.metric.binary.dc's convention (it catches the 0/0 and
+    returns 0), matched exactly by metrics3d.dice so device and host tables
+    agree and stay comparable to medpy-based evaluations.
     """
     p = pred_labels.reshape(-1)
     t = true_labels.reshape(-1)
@@ -25,7 +25,7 @@ def dice_per_class(pred_labels, true_labels, num_classes: int):
     t1 = (t[None, :] == classes[:, None]).astype(jnp.float32)
     inter = jnp.sum(p1 * t1, axis=1)
     sizes = jnp.sum(p1, axis=1) + jnp.sum(t1, axis=1)
-    return jnp.where(sizes > 0, 2.0 * inter / jnp.maximum(sizes, 1.0), 1.0)
+    return jnp.where(sizes > 0, 2.0 * inter / jnp.maximum(sizes, 1.0), 0.0)
 
 
 def mean_foreground_dice(pred_labels, true_labels, num_classes: int):

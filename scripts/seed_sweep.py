@@ -148,6 +148,19 @@ def main():
     def dice_of(state):
         return probe_of(state)[0]  # [C]; classes 1..4 are the structures
 
+    @jax.jit
+    def probe_tta(state):
+        """Oracle Dice with flip-TTA (run.eval_tta="flip"): average the
+        softmax over the horizontal flip — measured on end-of-run states so
+        each sweep also prices the eval-time TTA lever."""
+        def fwd_tta(st, xb):
+            p = a_fwd(st, xb)
+            pf = a_fwd(st, xb[:, :, ::-1, :])
+            return 0.5 * (p + pf[:, :, ::-1, :])
+        inter, psum, _ = device_dice(state, vol_stacks, true_sums,
+                                     true_labels, fwd_tta, nc)
+        return 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
+
     # unsupervised reference: class-voxel fractions of the SOURCE labels
     # (a label-marginal prior from the labeled domain — no target labels)
     src_fracs = np.bincount(
@@ -260,8 +273,19 @@ def main():
                 dual_snapshot = (step_i,
                                  rec["dice" if v == "live" else f"dice_{v}"],
                                  v)
+        # TTA delta on the end-of-run states (live + each EMA variant):
+        # prices `evaluate --tta flip` without re-running selection
+        tta = {"live": round(float(jnp.mean(probe_tta(state)[1:])), 4)}
+        for name in VARIANTS:
+            w = emas[name][1]
+            if w > 0:
+                es = state.replace(
+                    dam_params=jax.tree.map(lambda a: a / w,
+                                            emas[name][0][0]),
+                    tgt_bn=jax.tree.map(lambda a: a / w, emas[name][0][1]))
+                tta[name] = round(float(jnp.mean(probe_tta(es)[1:])), 4)
         final = curve[-1]["dice"]
-        row = {"seed": seed, "final": final,
+        row = {"seed": seed, "final": final, "tta": tta,
                "selected": sel_snapshot[1] if sel_snapshot else final,
                "selected_step": sel_snapshot[0] if sel_snapshot else
                cfg.adapt.steps,
@@ -287,11 +311,13 @@ def main():
               f"@{row['selected_dual_step']}"
               f"/{row['selected_dual_variant']} "
               f"oracle={row['oracle']:.3f}@{row['oracle_step']} "
+              f"tta_live={tta['live']:.3f} "
               + " ".join(f"{n}={row[n]:.3f}" for n in VARIANTS)
               + f" ({time.time() - t0:.0f}s)", flush=True)
 
-    def agg(key):
-        v = np.asarray([r[key] for r in rows], np.float64)
+    def agg(key, sub=None):
+        v = np.asarray([r[key][sub] if sub else r[key] for r in rows],
+                       np.float64)
         return {"mean": round(float(v.mean()), 4),
                 "std": round(float(v.std()), 4),
                 "min": round(float(v.min()), 4),
@@ -305,6 +331,7 @@ def main():
            "oracle": agg("oracle"),
            **{n: agg(n) for n in VARIANTS},
            **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
+           "tta_live": agg("tta", sub="live"),
            "src_fracs": [round(float(x), 5) for x in src_fracs],
            "per_seed": [{k: v for k, v in r.items() if k != "curve"}
                         for r in rows],

@@ -142,3 +142,26 @@ def test_api_predict_matches_eval_forward(tiny_config):
         context=tiny_config.data.context_slices,
         batch_size=tiny_config.data.batch_size)
     np.testing.assert_array_equal(preds[0], ref.astype(np.uint8))
+
+
+def test_api_evaluate_tta_flip(tiny_config):
+    """api.evaluate/predict honor tta='flip' (and run.eval_tta) — the
+    flip-averaged forward goes through the same stitch/metrics path."""
+    import numpy as np
+
+    from mcmda_tpu import api
+    from mcmda_tpu.data import synthetic
+    from mcmda_tpu.evaluation import inference
+
+    mri_v, mri_l = synthetic.make_dataset(0, "mri", 1, 8, 32)
+    src = api.train_source(tiny_config, mri_v, mri_l, steps=2)
+    table = api.evaluate(cfg=tiny_config, state=src, volumes=mri_v,
+                         labels=mri_l, tta="flip")
+    assert 0.0 <= table["mean"]["dice"] <= 1.0
+    preds = api.predict(tiny_config, src, mri_v, postprocess="none",
+                        tta="flip")
+    ref = inference.predict_volume(
+        inference.tta_flip(api._forward_for(tiny_config, src)), mri_v[0],
+        context=tiny_config.data.context_slices,
+        batch_size=tiny_config.data.batch_size)
+    np.testing.assert_array_equal(preds[0], ref.astype(np.uint8))

@@ -58,9 +58,11 @@ def test_oracle_eval_is_perfect(tiny_config):
     for name in ("AA", "LAC", "LVC", "MYO"):
         assert agg[name]["dice"] == 1.0
         assert agg[name]["assd"] == 0.0
+        assert agg[name]["hd95"] == 0.0
     assert agg["mean"]["dice"] == 1.0
+    assert agg["mean"]["hd95"] == 0.0
     table = report.format_table(agg)
-    assert "mean" in table and "AA" in table
+    assert "mean" in table and "AA" in table and "HD95" in table
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny_config):
@@ -162,3 +164,68 @@ def test_evaluate_volumes_postprocess_reports_both(tiny_config):
     assert agg["raw"]["AA"]["assd"] > agg["AA"]["assd"]
     assert agg["AA"]["assd"] == 0.0
     assert agg["AA"]["dice"] == 1.0
+
+
+def test_tta_flip_averages_probabilities():
+    """tta_flip averages the softmax over the horizontal flip: for a forward
+    whose output depends on x-position the wrapper must equal the hand
+    average, be W-equivariant by construction, and leave a flip-equivariant
+    forward unchanged."""
+
+    def fwd(xb):
+        # probability ramp along W, plus image content in class 1
+        w = xb.shape[2]
+        ramp = jnp.linspace(0.0, 1.0, w)[None, None, :, None]
+        p1 = jnp.broadcast_to(ramp, xb.shape[:3] + (1,))
+        p2 = jnp.mean(xb, -1, keepdims=True) ** 2
+        rest = jnp.ones(xb.shape[:3] + (3,))
+        p = jnp.concatenate([p1, p2, rest], -1)
+        return p / jnp.sum(p, -1, keepdims=True)
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+    got = inference.tta_flip(fwd)(x)
+    want = 0.5 * (np.asarray(fwd(x))
+                  + np.asarray(fwd(x[:, :, ::-1, :]))[:, :, ::-1, :])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    # memoized: same wrapper object per forward (keeps scan caches warm)
+    assert inference.tta_flip(fwd) is inference.tta_flip(fwd)
+
+    def equivariant(xb):  # depends only on |content|, symmetric under flip
+        m = jnp.mean(xb, -1, keepdims=True) ** 2
+        p = jnp.concatenate([m, 1.0 + 0 * m], -1)
+        return p / jnp.sum(p, -1, keepdims=True)
+
+    x_sym = x + x[:, :, ::-1, :]  # flip-symmetric input
+    np.testing.assert_allclose(
+        np.asarray(inference.tta_flip(equivariant)(x_sym)),
+        np.asarray(equivariant(x_sym)), atol=1e-6)
+
+    assert inference.get_tta("none") is None
+    assert inference.get_tta("flip") is inference.tta_flip
+    import pytest
+    with pytest.raises(ValueError):
+        inference.get_tta("rot90")
+
+
+def test_predict_volume_tta_single_dispatch(tiny_config):
+    """The TTA wrapper must be jittable through the scanned single-dispatch
+    path and agree with the host-loop fallback."""
+
+    def fwd(images):
+        m = jnp.mean(images, axis=-1, keepdims=True)
+        w = images.shape[2]
+        ramp = jnp.linspace(-1.0, 1.0, w)[None, None, :, None]
+        logits = jnp.concatenate(
+            [m + ramp, -m, 0 * m, 0 * m, 0 * m], axis=-1)
+        return jax.nn.softmax(logits, -1)
+
+    vol = np.random.default_rng(1).normal(size=(6, 32, 32)).astype(np.float32)
+    wrapped = inference.tta_flip(fwd)
+    pred = inference.predict_volume(wrapped, vol, batch_size=3)
+    pred2 = inference.predict_volume(wrapped, vol, batch_size=3,
+                                     single_dispatch=False)
+    np.testing.assert_array_equal(pred, pred2)
+    # and it differs from the un-augmented prediction for this asymmetric fwd
+    base = inference.predict_volume(fwd, vol, batch_size=3,
+                                    single_dispatch=False)
+    assert (pred != base).any()

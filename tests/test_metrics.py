@@ -73,3 +73,88 @@ def test_per_structure_table():
     out = metrics3d.per_structure(pred, true, {1: "AA", 2: "LAC"})
     assert out["AA"]["dice"] == 1.0
     assert out["LAC"]["dice"] == 0.0
+
+
+def test_hd95_known_geometry_and_percentile():
+    """Single-voxel objects 4 apart: every pooled distance is 4 -> hd95=4.
+    Then plant a far outlier voxel covering <5% of the pooled surface
+    distances: hd95 must shrug it off while max-Hausdorff would not."""
+    a = np.zeros((10, 10, 10), bool)
+    b = np.zeros((10, 10, 10), bool)
+    a[2, 5, 5] = True
+    b[6, 5, 5] = True
+    assert metrics3d.hd95(a, b) == 4.0
+
+    # plane vs identical plane + one distant island voxel in pred
+    p = np.zeros((20, 24, 24), bool)
+    t = np.zeros((20, 24, 24), bool)
+    p[10, 2:22, 2:22] = True
+    t[10, 2:22, 2:22] = True
+    p[0, 0, 0] = True  # 1 outlier among ~2*400 pooled distances
+    h = metrics3d.hd95(p, t)
+    assert h == 0.0  # 95th percentile ignores the single far voxel
+    assert metrics3d.assd(p, t) > 0.0  # the mean does see it
+
+
+def test_hd95_brute_force_parity_and_spacing():
+    a = np.zeros((12, 12, 12), bool)
+    b = np.zeros((12, 12, 12), bool)
+    a[3:7, 3:7, 3:7] = True
+    b[5:10, 4:8, 2:6] = True
+
+    def brute_directed(x, y, sp):
+        sx = np.argwhere(metrics3d._surface(x)) * sp
+        sy = np.argwhere(metrics3d._surface(y)) * sp
+        d = np.sqrt(((sx[:, None, :] - sy[None, :, :]) ** 2).sum(-1))
+        return d.min(1)
+
+    for sp in (np.ones(3), np.array([2.0, 1.0, 0.5])):
+        expect = np.percentile(
+            np.hstack([brute_directed(a, b, sp), brute_directed(b, a, sp)]),
+            95)
+        got = metrics3d.hd95(a, b, spacing=None if (sp == 1).all() else sp)
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_per_structure_carries_hd95():
+    pred = np.zeros((4, 8, 8), np.int32)
+    true = np.zeros((4, 8, 8), np.int32)
+    pred[1, 2:5, 2:5] = 1
+    true[1, 2:5, 2:5] = 1
+    out = metrics3d.per_structure(pred, true, {1: "AA", 2: "LAC"})
+    assert out["AA"]["hd95"] == 0.0
+    assert np.isnan(out["LAC"]["hd95"])  # truth empty -> nan, like assd
+
+
+def test_report_total_miss_penalty_covers_assd_and_hd95():
+    """A structure present in truth but entirely missed by the prediction
+    contributes the volume diagonal to BOTH ASSD and HD95 (not inf, not a
+    silent drop) and is counted in assd_misses."""
+    from mcmda_tpu.evaluation import report
+    pred = np.zeros((4, 8, 8), np.int32)
+    true = np.zeros((4, 8, 8), np.int32)
+    true[1, 2:5, 2:5] = 1  # structure 1 exists only in truth
+    pv = report._metrics_one(pred, true, {1: "AA"}, None)
+    diag = float(np.linalg.norm([4.0, 8.0, 8.0]))
+    assert pv["AA"]["assd_miss"]
+    assert pv["AA"]["assd"] == diag
+    assert pv["AA"]["hd95"] == diag
+    agg = report._aggregate([pv], {1: "AA"})
+    assert agg["AA"]["assd_misses"] == 1
+    assert agg["mean"]["hd95"] == diag
+
+
+def test_dice_empty_empty_is_zero_medpy_convention():
+    """medpy.metric.binary.dc returns 0.0 for empty-vs-empty (it catches the
+    0/0); both the host and device Dice match it exactly so tables stay
+    comparable to medpy-based evaluations (review r3 — was 1.0)."""
+    z = np.zeros((4, 4, 4), bool)
+    assert metrics3d.dice(z, z) == 0.0
+    # device variant: class 3 absent from both pred and truth
+    pred = np.zeros((2, 4, 4), np.int32)
+    true = np.zeros((2, 4, 4), np.int32)
+    pred[0, 0, 0] = 1
+    true[0, 0, 0] = 1
+    d = np.asarray(dev_metrics.dice_per_class(jnp.asarray(pred),
+                                              jnp.asarray(true), 5))
+    assert d[3] == 0.0 and d[1] == 1.0
