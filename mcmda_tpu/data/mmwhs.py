@@ -45,6 +45,19 @@ def load_domain(root: str, domain: str, *, with_labels: bool = True,
     lab_paths = splits.resolve_files(
         sum((glob.glob(os.path.join(root, domain, "labels", pat))
              for pat in ("*.nii", "*.nii.gz", "*.npz", "*.npy")), []))
+    if with_labels and lab_paths:
+        # pairing is BY KEY (patient number / name), not by position: a
+        # single missing or extra label file must fail loudly, not shift
+        # every subsequent volume onto the wrong patient's labels
+        img_keys = [splits.file_key(p) for p in img_paths]
+        lab_keys = [splits.file_key(p) for p in lab_paths]
+        if img_keys != lab_keys:
+            only_img = [k for k in img_keys if k not in set(lab_keys)]
+            only_lab = [k for k in lab_keys if k not in set(img_keys)]
+            raise ValueError(
+                f"{root}/{domain}: images and labels do not pair up "
+                f"(keys only in images: {only_img[:5]}; only in labels: "
+                f"{only_lab[:5]}) — check for missing/extra/renamed files")
     if ids is not None:
         img_paths = [img_paths[i] for i in ids]
         lab_paths = [lab_paths[i] for i in ids] if lab_paths else []

@@ -36,7 +36,7 @@ def _affine_grid(h: int, w: int, theta, zoom, shift_y, shift_x):
     return ys, xs
 
 
-def _warp(img_hw_c, ys, xs, order: int = 1):
+def _warp(img_hw_c, ys, xs):
     """Bilinear warp of [H,W,C] at sampling coords (out-of-range -> 0).
 
     Hand-rolled 4-corner gather on the flattened plane: one shared index set

@@ -42,10 +42,18 @@ def benchmark_split(direction: str = "mri2ct") -> Split:
                  target_test=TARGET_TEST_IDS)
 
 
+def file_key(path: str):
+    """Stable ordering/pairing key for a volume file: the patient number
+    embedded in the filename when present, else the basename itself —
+    NEVER the filesystem glob order (digitless names previously all keyed
+    to 0, leaving the order filesystem-dependent and the positional split
+    ids unstable across hosts)."""
+    name = path.rsplit("/", 1)[-1]
+    nums = re.findall(r"\d+", name)
+    return (0, int(nums[-1])) if nums else (1, name)
+
+
 def resolve_files(paths: List[str]) -> List[str]:
-    """Sort volume files by the patient number embedded in the filename so
-    positional split ids are stable across filesystems."""
-    def keyfn(p):
-        nums = re.findall(r"\d+", p.rsplit("/", 1)[-1])
-        return int(nums[-1]) if nums else 0
-    return sorted(paths, key=keyfn)
+    """Sort volume files by ``file_key`` so positional split ids are stable
+    across filesystems."""
+    return sorted(paths, key=file_key)

@@ -121,10 +121,17 @@ def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
     base = path
     if path.endswith((".img", ".img.gz")):
         base = path[: path.rindex(".img")] + ".hdr"
-    raw = _read_file(base)
+    try:
+        raw = _read_file(base)
+    except FileNotFoundError:
+        if base.endswith(".hdr"):  # fully gzipped pair: x.hdr.gz + x.img.gz
+            base += ".gz"
+            raw = _read_file(base)
+        else:
+            raise
     h = _parse_nifti_header(raw, base)
-    if h["detached"] or base.endswith(".hdr"):
-        img_path = base[:-4] + ".img"
+    if h["detached"] or base.endswith((".hdr", ".hdr.gz")):
+        img_path = base[: base.rindex(".hdr")] + ".img"
         try:
             raw = _read_file(img_path)
         except FileNotFoundError:
@@ -143,6 +150,11 @@ def load_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
         raise ValueError(f"{path}: file too short for shape {h['shape']}")
     data = np.frombuffer(raw, dtype=dt, count=count, offset=offset)
     data = data.reshape(h["shape"], order="F").astype(np.float32)
+    # tool-exported files commonly carry trailing singleton dims
+    # (dim[0]=4, nt=1): squeeze them so the [S,H,W] contract downstream
+    # holds; a real 4D series (nt>1) still raises at the consumer
+    while data.ndim > 3 and data.shape[-1] == 1:
+        data = data[..., 0]
     slope, inter = h["scl_slope"], h["scl_inter"]
     if not np.isfinite(inter):
         # NIfTI convention (nibabel parity): a non-finite scl_inter means 0;
@@ -227,7 +239,7 @@ def load_volume_with_spacing(path: str, key: str | None = None):
     """Like load_volume but also returns voxel spacing [3] (slice,row,col)
     when the format records it (NIfTI pixdim; npz key 'spacing'), else
     unit spacing — feeds the ASD metrics' mm-correct distances (E2)."""
-    if path.endswith((".nii", ".nii.gz", ".hdr", ".img", ".img.gz")):
+    if path.endswith((".nii", ".nii.gz", ".hdr", ".hdr.gz", ".img", ".img.gz")):
         data, zooms = load_nifti(path)
         # benchmark slicing is along the last file axis -> move to front
         vol = np.ascontiguousarray(np.moveaxis(data, -1, 0)).astype(np.float32)

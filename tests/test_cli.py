@@ -236,3 +236,20 @@ def test_cli_predict_writes_masks(tmp_path):
     mask2, _ = vio.load_volume_with_spacing(
         os.path.join(out_dir, "case8_pred.npz"))
     assert mask2.shape == vol.shape
+
+
+def test_mmwhs_mispaired_labels_raise(tmp_path):
+    """A missing label file must fail loudly, not silently shift every
+    later volume onto the wrong patient's labels (review r3)."""
+    from mcmda_tpu.data import mmwhs
+    root = tmp_path
+    os.makedirs(root / "mri" / "images")
+    os.makedirs(root / "mri" / "labels")
+    for i in (1001, 1002, 1003):
+        np.save(root / "mri" / "images" / f"mri_train_{i}.npy",
+                np.zeros((4, 8, 8), np.float32))
+        if i != 1002:  # 1002's label is missing
+            np.save(root / "mri" / "labels" / f"mri_train_{i}.npy",
+                    np.zeros((4, 8, 8), np.int32))
+    with pytest.raises(ValueError, match="do not pair up"):
+        mmwhs.load_domain(str(root), "mri", with_labels=True)

@@ -113,3 +113,17 @@ def test_benchmark_split():
     assert set(sp.target_train).isdisjoint(sp.target_test)
     files = splits.resolve_files(["ct_train_1003.nii", "ct_train_1001.nii"])
     assert files[0].endswith("1001.nii")
+
+
+def test_resolve_files_digitless_names_stable():
+    """Digitless filenames sort by basename, not filesystem glob order
+    (review r3: they all keyed to 0, leaving split ids host-dependent)."""
+    from mcmda_tpu.data import splits as sp
+    paths = ["/d/heartC.npz", "/d/heartA.npz", "/d/heartB.npz"]
+    assert sp.resolve_files(paths) == sp.resolve_files(list(reversed(paths)))
+    assert sp.resolve_files(paths) == ["/d/heartA.npz", "/d/heartB.npz",
+                                       "/d/heartC.npz"]
+    # numbered files still sort by patient number, before digitless ones
+    mixed = ["/d/x.npz", "/d/p_1010.npz", "/d/p_1002.npz"]
+    assert sp.resolve_files(mixed) == ["/d/p_1002.npz", "/d/p_1010.npz",
+                                       "/d/x.npz"]

@@ -226,3 +226,24 @@ def test_save_volume_npz_roundtrip(tmp_path):
     rv, rsp = volumes.load_volume_with_spacing(p)
     np.testing.assert_allclose(rv, v)
     np.testing.assert_allclose(rsp, [2.0, 1.0, 1.0])
+
+
+def test_trailing_singleton_dims_squeezed(tmp_path):
+    """Tool-exported 4D files with nt=1 (dim[0]=4) must load as 3D so the
+    [S,H,W] contract holds downstream (review r3)."""
+    p = str(tmp_path / "4d.nii")
+    _write(p, _hdr1((6, 5, 4, 1)) + b"\x00" * 4 + _body(DATA))
+    loaded, _ = volumes.load_nifti(p)
+    assert loaded.shape == (6, 5, 4)
+    np.testing.assert_allclose(loaded, DATA, atol=1e-6)
+
+
+def test_fully_gzipped_detached_pair(tmp_path):
+    """x.hdr.gz + x.img.gz (both halves gzipped) loads from either entry
+    point (review r3: only .img.gz used to have a gz fallback)."""
+    _write(str(tmp_path / "v.hdr.gz"),
+           _hdr1(DATA.shape, magic=b"ni1\x00", vox_offset=0.0))
+    _write(str(tmp_path / "v.img.gz"), _body(DATA))
+    for entry in ("v.hdr.gz", "v.img.gz"):
+        loaded, _ = volumes.load_nifti(str(tmp_path / entry))
+        np.testing.assert_allclose(loaded, DATA, atol=1e-6)
