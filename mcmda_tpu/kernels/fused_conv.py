@@ -64,10 +64,14 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, out_ref, scratch,
             *, dilation, activation, hw, cin, kt, has_residual, res_ref=None):
     h, w_dim = hw
     p = dilation
-    # zero-fill borders then place the sample; scratch persists across grid
-    # steps so the whole buffer is rewritten each time
-    scratch[:] = jnp.zeros_like(scratch)
-    scratch[p:p + h, p:p + w_dim, :] = x_ref[0]
+    # zero-fill borders then place the sample.  The K-tile axis is the
+    # INNERMOST grid dim and the padded input is identical across all
+    # K-tiles of one image, so the (multi-MB) scratch fill runs only on the
+    # first K-tile — scratch persists across the revisits.
+    @pl.when(pl.program_id(1) == 0)
+    def _fill():
+        scratch[:] = jnp.zeros_like(scratch)
+        scratch[p:p + h, p:p + w_dim, :] = x_ref[0]
 
     # 9 shifted MXU matmuls accumulate the SAME-padded atrous conv.  dy runs
     # in a fori_loop (dynamic offsets are unconstrained on dim 0) so Mosaic's
@@ -170,10 +174,20 @@ def fits_vmem(h: int, w: int, c: int, k: int, dilation: int,
 def conv_bn_act_auto(x, w, scale, bias, *, dilation=1, activation="relu",
                      residual=None):
     """Dispatch: Pallas fused kernel when the working set fits VMEM, XLA
-    oracle otherwise.  This is what the fused inference path calls."""
+    oracle otherwise.  This is what the fused inference path calls.
+
+    Besides the VMEM estimate, the Pallas path requires an executable
+    pallas backend (a CPU/GPU run with ``run.use_pallas=true`` must fall
+    back, not crash in Mosaic lowering; TPU-interpret mode counts) and K
+    divisible by the K-tile (the kernel asserts ``k % kt == 0``) — the same
+    guards as ``train_conv.fits``."""
+    from mcmda_tpu import kernels as _k
     n, h, wd, c = x.shape
     k = w.shape[-1]
-    if fits_vmem(h, wd, c, k, dilation, has_residual=residual is not None):
+    if (_k.tpu_pallas_available()
+            and k % min(128, k) == 0
+            and fits_vmem(h, wd, c, k, dilation,
+                          has_residual=residual is not None)):
         return conv_bn_act_pallas(x, w, scale, bias, dilation=dilation,
                                   activation=activation, residual=residual)
     return conv_bn_act_reference(x, w, scale, bias, dilation=dilation,

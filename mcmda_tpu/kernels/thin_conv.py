@@ -133,11 +133,13 @@ def stem_conv_nhwc(x, w, input_grad: bool = False):
 
 def _fwd(x, w, input_grad):
     xp = _pad_cf(x)
-    return stem_conv_cf(xp, _w27(w)), (xp, w)
+    # dtype token rides the residuals as a 0-d array (residuals
+    # must be JAX types)
+    return stem_conv_cf(xp, _w27(w)), (xp, w, jnp.zeros((), x.dtype))
 
 
 def _bwd(input_grad, res, g):
-    xp, w = res
+    xp, w, x_tok = res
     g = g.astype(jnp.float32)
     cin, k = w.shape[2], w.shape[3]
     dw27 = stem_conv_dw_cf(xp, g)
@@ -154,7 +156,9 @@ def _bwd(input_grad, res, g):
     else:
         dx = jnp.zeros((xp.shape[0], xp.shape[2] - 2, xp.shape[3] - 2, cin),
                        jnp.float32)
-    return dx, dw.astype(w.dtype)
+    # cotangent dtypes must match the primal avals (bf16 x previously
+    # raised a custom_vjp dtype mismatch)
+    return dx.astype(x_tok.dtype), dw.astype(w.dtype)
 
 
 stem_conv_nhwc.defvjp(_fwd, _bwd)

@@ -152,9 +152,10 @@ def fits(x_shape, w_shape, dilation: int, dtype,
     if dtype != jnp.float32 or w_shape[:2] != (3, 3) or k % 128 != 0 \
             or c % 128 != 0:
         return False
-    if jax.default_backend() != "tpu":
-        # CPU/GPU runs (tests, dryruns) take the XLA oracle; interpret-mode
-        # tests call conv_stats_pallas directly
+    from mcmda_tpu import kernels as _k
+    if not _k.tpu_pallas_available():
+        # CPU/GPU runs (tests, dryruns) take the XLA oracle; forced
+        # TPU-interpret mode counts as available
         return False
     kt = min(128, k)
     f32 = 4

@@ -119,8 +119,12 @@ def band_bound(h: int, w: int, rb: int, max_rotate_rad: float,
     image at max rotation / min zoom (ADVICE r2, medium) — covered by the
     worst-case sweep in tests/test_kernels.py.
     """
-    span = ((rb - 1) / zoom_min + abs(np.sin(max_rotate_rad)) * (w - 1)
-            / zoom_min + 12)
+    # max |sin| over the DRAWN range [-max, max] — sin is non-monotone past
+    # 90deg, so abs(sin(max)) alone under-sizes the band for ranges > 90deg
+    # (a draw near 90deg has the full (w-1)/zoom span)
+    s_max = 1.0 if abs(max_rotate_rad) >= np.pi / 2 \
+        else abs(np.sin(max_rotate_rad))
+    span = (rb - 1) / zoom_min + s_max * (w - 1) / zoom_min + 12
     return min(h, int(-(-span // 8) * 8))
 
 

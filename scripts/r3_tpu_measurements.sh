@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU measurement queue — everything that was blocked on the dead
+# axon tunnel (docs/roadmap.md r3 notes).  Run ONE instance on the real
+# chip; each step is an independent process (never two TPU processes at
+# once).  Logs land in results/r3_runs/.
+#
+#   bash scripts/r3_tpu_measurements.sh [stage ...]
+#
+# Stages (default: all, in this order):
+#   fused    bench_train_fused.py — train_fused=pallas vs none step delta
+#   bf16     2-seed ct2mri quality sweep with adapt.tgt_feats_bf16=true
+#   sweep    5-seed revalidation sweeps, both directions (LSGAN boundary +
+#            dual-variant live/EMA selection now in the recipe)
+#   bench    bench.py smoke (same JSON the driver records as BENCH_r03)
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p results/r3_runs
+STAGES=${@:-fused bf16 sweep bench}
+
+run() {  # run <name> <cmd...>
+  local name=$1; shift
+  echo "=== $name: $* ==="
+  "$@" 2>&1 | tee "results/r3_runs/${name}.log"
+  echo "=== $name done (rc=${PIPESTATUS[0]}) ==="
+}
+
+for s in $STAGES; do case $s in
+  fused)
+    run fused python scripts/bench_train_fused.py ;;
+  bf16)
+    run bf16 python scripts/seed_sweep.py --direction ct2mri --seeds 2 \
+        --set adapt.tgt_feats_bf16=true \
+        --out results/ct2mri_tgt_bf16_sweep.json ;;
+  sweep)
+    run sweep_mri2ct python scripts/seed_sweep.py --direction mri2ct \
+        --seeds 5 --out results/mri2ct_seed_sweep_r3.json
+    run sweep_ct2mri python scripts/seed_sweep.py --direction ct2mri \
+        --seeds 5 --out results/ct2mri_seed_sweep_r3.json ;;
+  bench)
+    run bench python bench.py ;;
+  *) echo "unknown stage: $s" >&2; exit 2 ;;
+esac; done

@@ -10,6 +10,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -33,9 +35,28 @@ def test_dryrun_multichip_forces_virtual_cpu_mesh():
     assert "OK8" in r.stdout
 
 
+def _default_backend_reachable(timeout: float = 90.0) -> bool:
+    """Probe default-backend init in a fresh hostile-env process.  When an
+    accelerator plugin is installed but its transport is down (e.g. the
+    tunnelled TPU client), ``jnp.ones(3)`` blocks forever — a condition no
+    in-process code can recover from, so the after-init test below is
+    meaningless and must skip rather than hang to its 600 s limit."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax.numpy as jnp; jnp.ones(3)"],
+            cwd=REPO, env=_hostile_env(), capture_output=True,
+            timeout=timeout)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def test_dryrun_multichip_survives_prior_backend_init():
     """Even if the process already initialized a backend (e.g. the driver ran
     entry() first), the dryrun must rebuild the CPU client with n devices."""
+    if not _default_backend_reachable():
+        pytest.skip("default JAX backend unreachable (accelerator transport "
+                    "down) — prior-backend-init scenario cannot be set up")
     code = (
         "import jax, jax.numpy as jnp\n"
         "x = jnp.ones(3)  # force default-backend init first\n"

@@ -203,3 +203,33 @@ def test_warp_band_bound_covers_worst_case_sweep():
                 out = warp.warp_affine(img, coefs, max_band=band)
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=0.02)
+
+
+def test_band_bound_monotone_past_90deg():
+    """sin is non-monotone past 90deg: a 120deg range must size the band at
+    least as large as a 90deg range (review r3 — abs(sin(120deg)) used to
+    under-size it)."""
+    from mcmda_tpu.kernels import warp
+    args = (256, 256, 8)
+    b90 = warp.band_bound(*args, np.deg2rad(90.0), 0.9)
+    b120 = warp.band_bound(*args, np.deg2rad(120.0), 0.9)
+    b15 = warp.band_bound(*args, np.deg2rad(15.0), 0.9)
+    assert b120 == b90 >= b15
+
+
+def test_thin_conv_bf16_input_grad_dtype():
+    """stem_conv_nhwc's custom VJP must return cotangents matching the
+    primal dtypes (bf16 x used to raise a dtype mismatch, review r3)."""
+    from mcmda_tpu.kernels import thin_conv
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 3),
+                          jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(1), (3, 3, 3, 8),
+                          jnp.float32) * 0.2
+
+    def loss(x, w):
+        with pltpu.force_tpu_interpret_mode():
+            y = thin_conv.stem_conv_nhwc(x, w)
+        return jnp.sum(y * y)
+
+    gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+    assert gx.dtype == jnp.bfloat16 and gw.dtype == w.dtype
