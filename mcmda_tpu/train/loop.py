@@ -108,7 +108,8 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                                     step=step + 1)
                     checkpoint.prune(ckpt_dir, keep_checkpoints,
                                      protect=(protect_steps()
-                                              if protect_steps else ()))
+                                              if protect_steps else ()),
+                                     newest=step + 1)
                 if callback is not None:
                     cb_metrics = {kk: float(v) for kk, v in
                                   jax.device_get(metrics).items()}

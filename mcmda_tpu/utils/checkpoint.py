@@ -109,18 +109,27 @@ def restore(path: str, like: Any) -> Any:
         [pick(kp, v) for kp, v in leaves])
 
 
-def prune(ckpt_dir: str, keep: int = 3, protect=()) -> None:
+def prune(ckpt_dir: str, keep: int = 3, protect=(),
+          newest: int | None = None) -> None:
     """Delete all but the newest ``keep`` step_XXXXXXXX checkpoints.
-    Steps in ``protect`` (e.g. the unsupervised-selection best) survive."""
+    Steps in ``protect`` (e.g. the unsupervised-selection best) survive.
+
+    ``newest``: the step of a save issued just before this call.  An async
+    save may not have materialized ANY directory yet when we listdir (the
+    AsyncCheckpointer's background thread creates it), so without this hint
+    the inventory undercounts and prune keeps one extra old step per miss
+    (observed as a racy test failure).  Callers that prune right after a
+    save should always pass the step they just saved."""
     import shutil
     if not os.path.isdir(ckpt_dir) or keep <= 0:
         return
     # No barrier needed: AsyncCheckpointer serializes saves (at most one in
     # flight = the NEWEST step), and prune never deletes the newest ``keep``.
     # An in-flight step's ".orbax-checkpoint-tmp" dir COUNTS toward the
-    # inventory (it will commit) but is never itself deleted.
+    # inventory when present (it will commit) but is never itself deleted.
     steps = sorted({int(m.group(1)) for n in os.listdir(ckpt_dir)
-                    if (m := re.match(r"step_(\d+)(\.npz$|$|\.orbax)", n))})
+                    if (m := re.match(r"step_(\d+)(\.npz$|$|\.orbax)", n))}
+                   | ({newest} if newest is not None else set()))
     for s in steps[:-keep]:
         if s in protect:
             continue

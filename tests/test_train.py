@@ -165,12 +165,36 @@ def test_checkpoint_prune(tmp_path, tiny_config):
     st = src_mod.init_state(_jax.random.key(0), tiny_config)
     for s in (5, 10, 15, 20):
         ck.save(str(tmp_path), st, step=s)
-    ck.prune(str(tmp_path), keep=2)
+    # newest=20: the just-issued async save may not have materialized any
+    # directory yet, in which case the listdir inventory undercounts — the
+    # hint is the documented call pattern for prune-right-after-save
+    ck.prune(str(tmp_path), keep=2, newest=20)
     ck.wait_pending()  # commit the (possibly) in-flight async save of 20
     assert ck.latest_step(str(tmp_path)) == 20
     import os
     steps = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
     assert steps == ["step_00000015", "step_00000020"]
+
+
+def test_prune_newest_hint_covers_unmaterialized_save(tmp_path):
+    """Regression (r3 flake): an async save issued right before prune may
+    not have created ANY directory yet, so the listdir inventory undercounts
+    and prune keeps one extra old step.  The ``newest`` hint makes the
+    inventory deterministic.  Simulated here with committed saves only —
+    newest=20 with no step_20 on disk is exactly what prune sees when it
+    loses that race."""
+    import jax as _jax
+    from mcmda_tpu.train import source as src_mod
+    from mcmda_tpu.utils import checkpoint as ck
+    st = src_mod.init_state(_jax.random.key(0), _tiny_for_ckpt())
+    for s in (5, 10, 15):
+        ck.save(str(tmp_path), st, step=s)
+    ck.wait_pending()
+    ck.prune(str(tmp_path), keep=2, newest=20)
+    import os
+    steps = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
+    # inventory = {5,10,15,20} -> keep {15,20}: both 5 AND 10 go
+    assert steps == ["step_00000015"]
 
 
 def test_d_acc_cap_throttles_critic(adapt_setup):
@@ -239,7 +263,7 @@ def test_prune_protects_selected_step(tmp_path):
     st = src_mod.init_state(_jax.random.key(0), _tiny_for_ckpt())
     for s in (5, 10, 15, 20):
         ck.save(str(tmp_path), st, step=s)
-    ck.prune(str(tmp_path), keep=2, protect={5})
+    ck.prune(str(tmp_path), keep=2, protect={5}, newest=20)
     ck.wait_pending()
     import os
     steps = sorted(n for n in os.listdir(tmp_path) if n.startswith("step_"))
