@@ -78,16 +78,19 @@ def tta_flip(forward):
     onto itself exactly (no resampling), and training draws it too
     (``config.data.flip``), so the model sees both chiralities — averaging
     the two softmaxes is the benchmark lineage's standard variance-reduction
-    trick at eval.  Costs a second forward per slice.  Memoized per forward
-    object so ``predict_volume``'s scan/compile caches stay warm across
-    volumes and checkpoints.
+    trick at eval.  Costs a second forward per slice, executed as ONE
+    double-batch forward (original and flipped concatenated on the batch
+    axis): the MXU sees 2B-row matmuls instead of two B-row dispatches, and
+    a mesh-sharded forward splits the doubled batch the same way.  Memoized
+    per forward object so ``predict_volume``'s scan/compile caches stay warm
+    across volumes and checkpoints.
     """
     f = _tta_cache.get(forward)
     if f is None:
         def f(xb, *fargs):
-            p = forward(xb, *fargs)
-            pf = forward(xb[:, :, ::-1, :], *fargs)
-            return 0.5 * (p + pf[:, :, ::-1, :])
+            b = xb.shape[0]
+            p2 = forward(jnp.concatenate([xb, xb[:, :, ::-1, :]]), *fargs)
+            return 0.5 * (p2[:b] + p2[b:][:, :, ::-1, :])
         while len(_tta_cache) >= _SCAN_CACHE_MAX:
             del _tta_cache[next(iter(_tta_cache))]
         _tta_cache[forward] = f
