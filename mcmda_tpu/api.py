@@ -172,24 +172,13 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
     # section 5c) — same machinery as the CLI; scores both the live DAM and
     # (when weight averaging is on) the EMA average, selecting the better
     ref_fracs = adapt_mod.label_fractions(src_labels, cfg.data.num_classes)
-    probe = adapt_mod.make_class_ratio_probe(cfg, probe_images)
-    probe_avg = (adapt_mod.make_class_ratio_probe(cfg, probe_images,
-                                                  use_avg=True)
-                 if cfg.adapt.dam_ema > 0 else None)
     selector = adapt_mod.ClassRatioSelector(
         ref_fracs, warmup_step=adapt_mod.select_warmup(cfg))
-    best_stash = {}
-
-    def select_probe(step_i, st, _metrics=None):
-        selector.update(step_i, np.asarray(probe(st)))
-        if probe_avg is not None:
-            selector.update(step_i, np.asarray(probe_avg(st)), variant="avg")
-        if selector.best_step == step_i:
-            dam, bn = adapt_mod.eval_weights(
-                st, use_avg=selector.best_variant == "avg")
-            best_stash["dam_params"] = jax.device_get(dam)
-            best_stash["tgt_bn"] = jax.device_get(bn)
-        selector.save(out_dir)
+    select_probe = adapt_mod.SelectionProbe(
+        adapt_mod.make_select_bundle(cfg, probe_images,
+                                     dual=cfg.adapt.dam_ema > 0),
+        primary=selector, cr_selector=selector, save_dir=out_dir)
+    best_stash = select_probe.best_stash
 
     state, _ = loop.run(mk_step(), state, make_feed(), n_pre + n_adapt,
                         seed=cfg.run.seed + 6, log_every=cfg.run.log_every,
@@ -198,9 +187,8 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
                         inner_steps=inner,
                         probe_every=sel_every if out_dir else 0,
                         probe=select_probe if out_dir else None,
-                        protect_steps=lambda: (
-                            {selector.best_step}
-                            if selector.best_step is not None else ()))
+                        protect_steps=select_probe.protect_steps)
+    select_probe.flush()  # retire the final deferred probe tick
     if out_dir and best_stash and selector.best_step is not None:
         base = os.path.join(out_dir, f"step_{selector.best_step:08d}")
         if not (os.path.isdir(base) or os.path.exists(base + ".npz")):

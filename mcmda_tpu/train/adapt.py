@@ -22,6 +22,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from mcmda_tpu.config import ExperimentConfig
@@ -435,6 +436,104 @@ def make_class_ratio_probe(cfg: ExperimentConfig, probe_images,
         return counts / jnp.sum(counts)
 
     return probe
+
+
+def make_select_bundle(cfg: ExperimentConfig, probe_images,
+                       dual: bool = False):
+    """Everything one selection tick needs, as ONE jitted dispatch with NO
+    host sync: predicted class fractions for the live (and, when ``dual``,
+    the EMA-average) weight variant, plus device COPIES of each variant's
+    eval weights — the stash candidates.  Copies (``jnp.copy``) because the
+    train steps donate the state, so pass-through references into it would
+    be invalidated by the next dispatch.
+
+    Pair with :class:`SelectionProbe`, which reads the returned device
+    values one tick LATER so the probe never stalls the dispatch pipeline.
+    """
+    probe_live = make_class_ratio_probe(cfg, probe_images)
+    probe_avg = make_class_ratio_probe(cfg, probe_images, use_avg=True) \
+        if dual else None
+
+    @jax.jit
+    def bundle(state: AdaptState) -> dict:
+        out = {"fracs_live": probe_live(state),
+               "weights_live": jax.tree.map(jnp.copy,
+                                            eval_weights(state, False))}
+        if probe_avg is not None:
+            out["fracs_avg"] = probe_avg(state)
+            out["weights_avg"] = jax.tree.map(jnp.copy,
+                                              eval_weights(state, True))
+        return out
+
+    return bundle
+
+
+class SelectionProbe:
+    """Deferred-by-one-tick selection bookkeeping (loop ``probe=``).
+
+    Calling the probe launches the device work for THIS tick (one jitted
+    ``bundle`` dispatch) and host-reads the PREVIOUS tick's results — so the
+    training loop's dispatch pipeline never waits on a probe: by the next
+    tick (``select_every`` steps later) the values have long materialized.
+    ``flush()`` after the loop retires the final pending tick.  Selector
+    updates, the best-weights stash, and selection.json writes all happen at
+    read time with the step they were probed at; the only observable
+    difference from the synchronous path is that ``selection.json`` and the
+    prune-protection set lag one tick mid-run (both are settled by flush).
+
+    ``metrics`` may be device scalars — they are kept unread until flush
+    (they are step OUTPUTS, which donation does not invalidate).
+    """
+
+    def __init__(self, bundle, primary, cr_selector,
+                 eq_selector=None, logger=None, save_dir: str | None = None,
+                 save_ok: bool = True):
+        self._bundle = bundle
+        self.primary = primary          # the selector driving best_step
+        self._cr = cr_selector
+        self._eq = eq_selector
+        self._logger = logger
+        self._save_dir = save_dir
+        self._save_ok = save_ok
+        self._pending = None
+        self.best_stash: dict = {}
+
+    def __call__(self, step: int, state, metrics=None) -> None:
+        out = self._bundle(state)       # async dispatch; no host sync
+        self.flush()
+        d_acc = None if not metrics else metrics.get("d_acc")
+        self._pending = (step, out, d_acc)
+
+    def flush(self) -> None:
+        """Host-read the pending tick (if any) and update all bookkeeping."""
+        if self._pending is None:
+            return
+        step, out, d_acc = self._pending
+        self._pending = None
+        scalars = {}
+        if self._eq is not None and d_acc is not None:
+            scalars["equilibrium_dist"] = self._eq.update(
+                step, {"d_acc": float(d_acc)})
+        scalars["class_ratio_dist"] = self._cr.update(
+            step, np.asarray(out["fracs_live"]))
+        if "fracs_avg" in out:
+            scalars["class_ratio_dist_avg"] = self._cr.update(
+                step, np.asarray(out["fracs_avg"]), variant="avg")
+        if self._logger is not None:
+            self._logger.log(step, scalars)
+        if self.primary.best_step == step:
+            variant = getattr(self.primary, "best_variant", "live")
+            dam, bn = out["weights_avg" if variant == "avg"
+                          else "weights_live"]
+            self.best_stash["dam_params"] = jax.device_get(dam)
+            self.best_stash["tgt_bn"] = jax.device_get(bn)
+        if self._save_dir and self._save_ok:
+            self.primary.save(self._save_dir)
+
+    def protect_steps(self):
+        """Prune-protection set for ``loop.run(protect_steps=)``."""
+        return ({self.primary.best_step}
+                if self.primary.best_step is not None else ())
 
 
 def eval_weights(state: AdaptState, use_avg: bool = False):

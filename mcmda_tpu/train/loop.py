@@ -81,7 +81,9 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
 
     ``probe(step, state, metrics)`` fires every ``probe_every`` train steps
     — a cadence INDEPENDENT of checkpointing, for cheap periodic device
-    probes (e.g. the unsupervised selection signal).
+    probes (e.g. the unsupervised selection signal).  Unlike ``callback``,
+    the probe's ``metrics`` are raw DEVICE values so a deferred probe
+    (adapt.SelectionProbe) never forces a host sync on the hot path.
     """
     logger = logger or mlog.MetricsLogger(echo=False)
     root = prng.root_key(seed)
@@ -98,9 +100,11 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                 logger.log(step, last_metrics)
             if probe is not None and probe_every and \
                     (step + 1) % probe_every < k:
-                probe(step + 1, state,
-                      {kk: float(v) for kk, v in
-                       jax.device_get(metrics).items()})
+                # metrics stay DEVICE values: a probe that host-read them
+                # here would stall the dispatch pipeline on the step just
+                # issued.  SelectionProbe defers the read by one tick;
+                # convert lazily (float()) if you consume them.
+                probe(step + 1, state, metrics)
             if ckpt_every and step + 1 < num_steps and \
                     (step + 1) % ckpt_every < k:
                 if ckpt_dir:

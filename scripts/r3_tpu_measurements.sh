@@ -11,11 +11,13 @@
 #   bf16     2-seed ct2mri quality sweep with adapt.tgt_feats_bf16=true
 #   sweep    5-seed revalidation sweeps, both directions (LSGAN boundary +
 #            dual-variant live/EMA selection now in the recipe)
+#   artifacts  full-CLI synthetic benchmark → regenerate results/*.json
+#            (now incl. HD95 + deferred selection probe in the recipe)
 #   bench    bench.py smoke (same JSON the driver records as BENCH_r03)
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results/r3_runs
-STAGES=${@:-fused bf16 sweep bench}
+STAGES=${@:-fused bf16 sweep artifacts bench}
 
 run() {  # run <name> <cmd...>
   local name=$1; shift
@@ -36,6 +38,8 @@ for s in $STAGES; do case $s in
         --seeds 5 --out results/mri2ct_seed_sweep_r3.json
     run sweep_ct2mri python scripts/seed_sweep.py --direction ct2mri \
         --seeds 5 --out results/ct2mri_seed_sweep_r3.json ;;
+  artifacts)
+    run artifacts bash scripts/synthetic_benchmark.sh ;;
   bench)
     run bench python bench.py ;;
   *) echo "unknown stage: $s" >&2; exit 2 ;;

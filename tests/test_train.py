@@ -433,6 +433,68 @@ def test_label_fractions_and_ratio_probe(tiny_config):
     assert abs(got.sum() - 1.0) < 1e-6
 
 
+def test_selection_probe_deferred_bookkeeping(tmp_path):
+    """SelectionProbe reads each tick one call later: after N calls the
+    selectors have seen ticks 1..N-1; flush() retires the last.  The stash
+    holds the BEST tick's weights (captured at probe time, not at read
+    time), selection.json is written, and device d_acc metrics reach the
+    equilibrium selector without an eager host read."""
+    import json
+    ref = np.array([0.5, 0.5])
+    cr = adapt.ClassRatioSelector(ref, warmup_step=0)
+    eq = adapt.EquilibriumSelector(ema=0.0, warmup_step=0)
+
+    def bundle(st):  # stub: state is a plain dict
+        return {"fracs_live": jnp.asarray(st["fracs"]),
+                "weights_live": (st["dam"], st["bn"])}
+
+    probe = adapt.SelectionProbe(bundle, primary=cr, cr_selector=cr,
+                                 eq_selector=eq, save_dir=str(tmp_path))
+    ticks = [  # (step, fracs -> L1 score vs ref, dam marker, d_acc)
+        (10, [0.9, 0.1], 1.0, 0.9),   # score 0.8
+        (20, [0.55, 0.45], 2.0, 0.6),  # score 0.1  <- best
+        (30, [0.8, 0.2], 3.0, 0.95),  # score 0.6
+    ]
+    for step, fracs, marker, dacc in ticks:
+        st = {"fracs": np.asarray(fracs, np.float32),
+              "dam": jnp.full((3,), marker), "bn": jnp.zeros(1)}
+        probe(step, st, metrics={"d_acc": jnp.float32(dacc)})
+    # tick 30 is still pending: selectors saw 10 and 20 only
+    assert cr.best_step == 20
+    probe.flush()
+    assert cr.best_step == 20 and cr.best_variant == "live"
+    assert eq.best_step == 20  # |0.6-0.5| is the smallest distance
+    np.testing.assert_array_equal(
+        np.asarray(probe.best_stash["dam_params"]), np.full((3,), 2.0))
+    with open(tmp_path / "selection.json") as f:
+        rec = json.load(f)
+    assert rec["best_step"] == 20
+    assert probe.protect_steps() == {20}
+    probe.flush()  # idempotent with nothing pending
+
+
+def test_select_bundle_copies_survive_donation(tiny_config):
+    """make_select_bundle must return COPIES of the eval weights: train
+    steps donate the state, so a pass-through reference would die with the
+    next dispatch.  Simulated by deleting the state's buffers and reading
+    the bundle output afterwards; fractions match the plain probe."""
+    cfg = tiny_config
+    src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
+    state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
+    imgs = np.asarray(_batch(cfg, 0, "ct")["image"])
+    want_fracs = np.asarray(adapt.make_class_ratio_probe(cfg, imgs)(state))
+    want_dam = jax.device_get(state.dam_params)
+
+    bundle = adapt.make_select_bundle(cfg, imgs, dual=False)
+    out = bundle(state)
+    jax.block_until_ready(out)
+    jax.tree.map(lambda a: a.delete(), state.dam_params)  # simulate donation
+    got_dam, _got_bn = jax.device_get(out["weights_live"])
+    jax.tree.map(np.testing.assert_array_equal, got_dam, want_dam)
+    np.testing.assert_allclose(np.asarray(out["fracs_live"]), want_fracs,
+                               atol=1e-6)
+
+
 def test_bf16_compute_path(tiny_config):
     """compute_dtype=bfloat16: train + eval run finite, activations flow in
     bf16 (params stay f32 masters), and eval probs stay close to f32."""
