@@ -70,6 +70,8 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
 
     The rng handed to each dispatch derives from (seed, step) so a resumed
     run replays identical augmentation randomness from its restart point.
+    Metric logging is deferred one log tick (flushed on every exit path) so
+    the dispatch pipeline never waits on a host readback of step metrics.
     ``callback(step, state, metrics)`` fires at every checkpoint interval
     (qualitative snapshot dumps, eval probes, checkpoint selection — the
     reference's periodic T2 side effects); ``metrics`` is that step's metric
@@ -89,15 +91,30 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
     root = prng.root_key(seed)
     last_metrics = {}
     k = max(1, inner_steps)
+    # metric logging is deferred one log tick: host-reading a tick's device
+    # metrics immediately would stall the dispatch pipeline on the step just
+    # issued, while by the NEXT tick (log_every steps later) they have long
+    # materialized.  The pending tick is flushed on every exit path.
+    pending_log = None
+
+    def _flush_log():
+        nonlocal pending_log, last_metrics
+        if pending_log is None:
+            return
+        s, m = pending_log
+        pending_log = None
+        last_metrics = {kk: float(v) for kk, v in
+                        jax.device_get(m).items()}
+        logger.log(s, last_metrics)
+
     with _PreemptionGuard() as guard:
         for outer in range(start_step // k, num_steps // k):
             step = (outer + 1) * k - 1  # index of the last train step done
             batch = next(batches)
             state, metrics = step_fn(state, batch, prng.step_key(root, outer))
             if log_every and (step % log_every < k or step >= num_steps - k):
-                last_metrics = {kk: float(v) for kk, v in
-                                jax.device_get(metrics).items()}
-                logger.log(step, last_metrics)
+                _flush_log()
+                pending_log = (step, metrics)
             if probe is not None and probe_every and \
                     (step + 1) % probe_every < k:
                 # metrics stay DEVICE values: a probe that host-read them
@@ -119,12 +136,14 @@ def run(step_fn: Callable, state, batches: Iterator, num_steps: int, *,
                                   jax.device_get(metrics).items()}
                     callback(step + 1, state, cb_metrics)
             if guard.fired:
+                _flush_log()
                 if ckpt_dir:
                     checkpoint.save(os.path.join(ckpt_dir), state,
                                     step=step + 1, block=True)
                     print(f"[loop] preemption signal: checkpointed at step "
                           f"{step + 1} and stopped", flush=True)
                 return state, last_metrics
+    _flush_log()
     if ckpt_dir:
         # the FINAL save must commit before return: an async save racing
         # interpreter shutdown can lose the atexit barrier to Python's own

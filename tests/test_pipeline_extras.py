@@ -131,3 +131,30 @@ def test_loop_resume_roundtrip(tmp_path, tiny_config):
     resumed, start = loop.maybe_resume(str(tmp_path), fresh)
     assert start == 10
     assert int(resumed.step) == 10
+
+
+def test_loop_logging_deferred_but_complete():
+    """Metric logging defers each tick's host read to the next tick, but
+    every tick (including the final step) is flushed by the time run()
+    returns, with the values of the step it was recorded at."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from mcmda_tpu.train import loop
+
+    calls = []
+
+    class Rec:
+        def log(self, step, m):
+            calls.append((step, dict(m)))
+
+    def step_fn(st, batch, rng):
+        return st + 1, {"x": st.astype(jnp.float32)}
+
+    state, last = loop.run(step_fn, jnp.int32(0), itertools.repeat({}), 10,
+                           log_every=5, logger=Rec())
+    assert [s for s, _ in calls] == [0, 5, 9]
+    assert [m["x"] for _, m in calls] == [0.0, 5.0, 9.0]
+    assert last == {"x": 9.0}
+    assert int(state) == 10
