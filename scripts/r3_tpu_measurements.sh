@@ -37,7 +37,14 @@ for s in $STAGES; do case $s in
     run sweep_mri2ct python scripts/seed_sweep.py --direction mri2ct \
         --seeds 5 --out results/mri2ct_seed_sweep_r3.json
     run sweep_ct2mri python scripts/seed_sweep.py --direction ct2mri \
-        --seeds 5 --out results/ct2mri_seed_sweep_r3.json ;;
+        --seeds 5 --out results/ct2mri_seed_sweep_r3.json
+    # finer selection cadence (VERDICT r2 item 5): the deferred probe makes
+    # select_every=100 nearly free on the hot path — if this sweep's
+    # "selected" mean closes on its oracle vs the 250-cadence run above,
+    # re-pin adapt.select_every in config.py/configs and docs/design.md 5c
+    run sweep_ct2mri_fine python scripts/seed_sweep.py --direction ct2mri \
+        --seeds 5 --eval-every 100 \
+        --out results/ct2mri_seed_sweep_r3_ev100.json ;;
   artifacts)
     run artifacts bash scripts/synthetic_benchmark.sh ;;
   bench)
