@@ -45,6 +45,13 @@ for s in $STAGES; do case $s in
     run sweep_ct2mri_fine python scripts/seed_sweep.py --direction ct2mri \
         --seeds 5 --eval-every 100 \
         --out results/ct2mri_seed_sweep_r3_ev100.json ;;
+  lac)
+    # NOT in the default list (exploratory): LAC is the weakest reverse-
+    # direction structure (docs/roadmap.md quality) — price a higher-
+    # capacity critic: 3 taps incl. the mid-level rm3, per-tap critics.
+    run lac python scripts/seed_sweep.py --direction ct2mri --seeds 2 \
+        --set 'critic.taps=["rm3","rm4","rm6"]' --set critic.mode=multi \
+        --out results/ct2mri_lac_critic_sweep.json ;;
   artifacts)
     run artifacts bash scripts/synthetic_benchmark.sh ;;
   bench)
