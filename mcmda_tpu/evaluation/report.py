@@ -76,6 +76,10 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
     volume before metrics.  The returned table is then for the FILTERED
     predictions, with the unfiltered table preserved under ``agg["raw"]`` —
     both come from a single inference pass per volume.
+
+    Besides the aggregate rows, the returned dict carries
+    ``agg["per_volume"]``: the per-structure metrics of each test volume in
+    input order (real-data QA: which patient fails, not just the mean).
     """
     per_vol, per_vol_raw = [], []
     for i, (vol, lab) in enumerate(zip(volumes, labels)):
@@ -93,11 +97,17 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
     agg = _aggregate(per_vol, structures)
     if postprocess is not None:
         agg["raw"] = _aggregate(per_vol_raw, structures)
+    # per-patient QA tables (which volume fails, not just the mean) — e.g.
+    # `evaluate --json-out` on real data; format_table skips this key
+    agg["per_volume"] = per_vol
     return agg
 
 
+_NON_STRUCTURE_KEYS = ("mean", "raw", "per_volume")
+
+
 def format_table(agg: dict) -> str:
-    names = [n for n in agg if n not in ("mean", "raw")] + ["mean"]
+    names = [n for n in agg if n not in _NON_STRUCTURE_KEYS] + ["mean"]
     lines = [f"{'structure':>10} {'Dice':>8} {'ASSD':>8} {'HD95':>8} "
              f"{'miss':>5}"]
     for n in names:

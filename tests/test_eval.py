@@ -61,8 +61,14 @@ def test_oracle_eval_is_perfect(tiny_config):
         assert agg[name]["hd95"] == 0.0
     assert agg["mean"]["dice"] == 1.0
     assert agg["mean"]["hd95"] == 0.0
+    # per-patient QA rows ride along, one per input volume, json-safe
+    import json as _json
+    assert len(agg["per_volume"]) == len(vols)
+    assert agg["per_volume"][0]["AA"]["dice"] == 1.0
+    _json.dumps(agg)
     table = report.format_table(agg)
     assert "mean" in table and "AA" in table and "HD95" in table
+    assert "per_volume" not in table
 
 
 def test_checkpoint_roundtrip(tmp_path, tiny_config):
