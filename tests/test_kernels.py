@@ -48,6 +48,23 @@ def test_fused_conv_residual_and_ktiling():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_fused_conv_multi_batch_multi_ktile_scratch_refill():
+    """The padded-input scratch fills only on the first K-tile of each image
+    (r3: the fill is skipped on K-tile revisits).  With several images AND
+    several K-tiles the kernel must refill when the image changes — a stale
+    scratch would silently produce the previous image's output."""
+    # DISTINCT per-image content so a stale scratch is guaranteed to differ
+    x = jnp.concatenate([_rand(0, (1, 8, 8, 16)),
+                         10.0 + _rand(7, (1, 8, 8, 16))], axis=0)
+    w = _rand(1, (3, 3, 16, 32)) * 0.1
+    scale = jnp.abs(_rand(2, (32,))) + 0.5
+    bias = _rand(3, (32,))
+    ref = fk.conv_bn_act_reference(x, w, scale, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = fk.conv_bn_act_pallas(x, w, scale, bias, k_tile=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
 def test_fold_bn_matches_bn_apply():
     bn_p = {"scale": jnp.asarray([2.0, 0.5]), "bias": jnp.asarray([1.0, -1.0])}
     bn_s = {"mean": jnp.asarray([0.3, -0.2]), "var": jnp.asarray([4.0, 0.25])}
