@@ -250,3 +250,20 @@ def test_thin_conv_bf16_input_grad_dtype():
 
     gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
     assert gx.dtype == jnp.bfloat16 and gw.dtype == w.dtype
+
+
+def test_fused_conv_production_tail_shapes():
+    """Interpret-mode parity of the fused eval conv at the dilated-tail
+    production shapes (32x32, 256->256 d2 and 512->512 d4, k_tile 128) —
+    the same tiling the serving path runs on the chip."""
+    for c, k, d in ((256, 256, 2), (512, 512, 4)):
+        x = _rand(0, (1, 32, 32, c))
+        w = _rand(1, (3, 3, c, k)) * 0.05
+        scale = jnp.abs(_rand(2, (k,))) + 0.5
+        bias = _rand(3, (k,))
+        ref = fk.conv_bn_act_reference(x, w, scale, bias, dilation=d)
+        with pltpu.force_tpu_interpret_mode():
+            got = fk.conv_bn_act_pallas(x, w, scale, bias, dilation=d,
+                                        k_tile=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-3)

@@ -147,3 +147,19 @@ def test_fits_gate():
                    jnp.float32) == on_tpu
     assert not tk.fits((8, 64, 64, 128), (3, 3, 128, 128), 1, jnp.bfloat16)
     assert not tk.fits((8, 128, 128, 32), (3, 3, 32, 32), 1, jnp.float32)
+
+
+@pytest.mark.parametrize("c,k,dilation", [(256, 256, 2), (512, 512, 4)])
+def test_conv_stats_pallas_production_shapes(c, k, dilation):
+    """Interpret-mode parity at the EXACT rm4/rm5-rm6 production shapes
+    (32x32 spatial, 256/512 channels, dilation 2/4, k_tile 128) — the same
+    grid/tiling the real chip executes, so tiling bugs surface here and not
+    only on hardware."""
+    x = _rand(0, (2, 32, 32, c), 1.0)
+    w = _rand(1, (3, 3, c, k), 0.05)
+    ref = tk.conv_stats_reference(x, w, dilation)
+    with pltpu.force_tpu_interpret_mode():
+        got = tk.conv_stats_pallas(x, w, dilation, k_tile=128)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-3)
