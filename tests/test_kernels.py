@@ -267,3 +267,23 @@ def test_fused_conv_production_tail_shapes():
                                         k_tile=128)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-4, atol=2e-3)
+
+
+def test_warp_production_size_parity():
+    """Interpret-mode warp parity at the production 256x256 geometry (15deg
+    rotation range -> banded path with band 96): the y-band tiling and
+    boundary arithmetic at the shipped image size, incl. a flipped sample."""
+    from mcmda_tpu.kernels import warp
+    H = W = 256
+    img = _rand(11, (2, H, W, 8))
+    coefs = jax.vmap(lambda t, z, a, b, f: warp.affine_coefs(
+        t, z, a, b, f, H, W))(
+        jnp.asarray([0.26, -0.26]), jnp.asarray([0.9, 1.1]),
+        jnp.asarray([5.0, -10.0]), jnp.asarray([-7.0, 3.0]),
+        jnp.asarray([False, True]))
+    band = warp.band_bound(H, W, 8, 0.26, 0.9)
+    assert band < H
+    ref = warp.warp_affine_reference(img, coefs)
+    with pltpu.force_tpu_interpret_mode():
+        out = warp.warp_affine(img, coefs, max_band=band)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.02)
