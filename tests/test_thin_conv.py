@@ -77,3 +77,18 @@ def test_stem_conv_grads_match_oracle_tpu():
     # default path: input cotangent is intentionally zero (first layer)
     gx = jax.grad(lambda xv: jnp.sum(tc.stem_conv_nhwc(xv, w) ** 2))(x)
     assert bool(jnp.all(gx == 0))
+
+
+def test_stem_conv_production_size_parity():
+    """Interpret-mode parity of the channels-first stem kernel at the full
+    256x256 production geometry (3->16): the row-band tiling at the shipped
+    image size, not just the small unit shapes."""
+    from jax.experimental.pallas import tpu as pltpu
+    x = jax.random.normal(jax.random.key(0), (2, 256, 256, 3), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (3, 3, 3, 16),
+                          jnp.float32) * 0.2
+    ref = layers.conv_apply({"w": w}, x, stride=1, dilation=1)
+    with pltpu.force_tpu_interpret_mode():
+        got = jnp.transpose(tc.stem_conv_nhwc(x, w), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
