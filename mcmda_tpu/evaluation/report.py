@@ -97,6 +97,7 @@ def evaluate_volumes(forward: Callable, volumes: Sequence[np.ndarray],
     agg = _aggregate(per_vol, structures)
     if postprocess is not None:
         agg["raw"] = _aggregate(per_vol_raw, structures)
+        agg["raw"]["per_volume"] = per_vol_raw
     # per-patient QA tables (which volume fails, not just the mean) — e.g.
     # `evaluate --json-out` on real data; format_table skips this key
     agg["per_volume"] = per_vol

@@ -170,6 +170,10 @@ def test_evaluate_volumes_postprocess_reports_both(tiny_config):
     assert agg["raw"]["AA"]["assd"] > agg["AA"]["assd"]
     assert agg["AA"]["assd"] == 0.0
     assert agg["AA"]["dice"] == 1.0
+    # per-volume QA rows for BOTH variants (filtered top-level, raw nested)
+    assert len(agg["per_volume"]) == 1 and len(agg["raw"]["per_volume"]) == 1
+    assert agg["raw"]["per_volume"][0]["AA"]["assd"] > \
+        agg["per_volume"][0]["AA"]["assd"]
 
 
 def test_tta_flip_averages_probabilities():
