@@ -55,6 +55,16 @@ def hbm_traffic_from_trace(logdir: str):
     data, _fmt = raw_to_tool_data.xspace_to_tool_data(
         paths, "roofline_model", {})
     tables = _json.loads(data if isinstance(data, str) else data.decode())
+    return aggregate_roofline_traffic(tables)
+
+
+def aggregate_roofline_traffic(tables):
+    """Pure aggregation over xprof ``roofline_model`` JSON tables (gviz
+    DataTable format): sum per-op HBM bytes = ``hbm_bw`` (GB/s) x
+    ``total_self_time`` (us) over the whole-window per-op rows, skipping the
+    synthetic Total/IDLE aggregate rows and per-step duplicates.  Split from
+    ``hbm_traffic_from_trace`` so the row semantics are unit-testable
+    without a device trace."""
     if not isinstance(tables, list):
         tables = [tables]
     best = None

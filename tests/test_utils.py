@@ -147,3 +147,60 @@ def test_jax_cache_enable(tmp_path):
         assert jax.config.jax_compilation_cache_dir == target
     finally:
         jax.config.update("jax_compilation_cache_dir", prior)
+
+
+def _roofline_table(rows, cols=("step", "operation", "total_self_time",
+                                "hbm_bw", "include_infeed_outfeed"),
+                    props=None):
+    """Minimal gviz DataTable in xprof roofline_model shape."""
+    return {
+        "cols": [{"id": c} for c in cols],
+        "rows": [{"c": [{"v": v} for v in r]} for r in rows],
+        "p": props or {},
+    }
+
+
+def test_aggregate_roofline_traffic():
+    """Per-op HBM bytes = hbm_bw (GB/s) x self time (us) over the 'Total'
+    step rows only, skipping synthetic Total/IDLE aggregates and
+    infeed/outfeed rows; GB/s * us = 1e3 bytes."""
+    tbl = _roofline_table([
+        # per-step duplicates that must NOT be double-counted
+        ("1", "fusion.1", 100.0, 10.0, "0"),
+        ("2", "fusion.1", 100.0, 10.0, "0"),
+        # whole-window aggregates (the rows that count)
+        ("Total", "fusion.1", 200.0, 10.0, "0"),   # 10 GB/s * 200 us = 2 MB
+        ("Total", "fusion.2", 50.0, 400.0, "0"),   # 400 GB/s * 50 us = 20 MB
+        # synthetic aggregate + idle + infeed rows: skipped
+        ("Total", "Total", 250.0, 88.0, "0"),
+        ("Total", "IDLE", 1000.0, 0.0, "0"),
+        ("Total", "fusion.3", 10.0, 10.0, "1"),
+    ], props={"peak_hbm_bw": "819"})
+    out = profiling.aggregate_roofline_traffic([tbl])
+    assert out["n_ops"] == 2
+    assert out["hbm_bytes"] == (10.0 * 200 + 400.0 * 50) * 1e3
+    assert abs(out["device_time_s"] - 250e-6) < 1e-12
+    assert out["peak_hbm_gbps"] == 819.0
+    expected_gbps = out["hbm_bytes"] / 250e-6 / 1e9
+    assert abs(out["hbm_gbps"] - expected_gbps) < 1e-6
+
+
+def test_aggregate_roofline_traffic_no_total_step():
+    """Without 'Total' step rows every per-op row counts once."""
+    tbl = _roofline_table([
+        ("1", "op.a", 100.0, 5.0, "0"),
+        ("1", "op.b", 100.0, 5.0, "0"),
+    ])
+    out = profiling.aggregate_roofline_traffic([tbl])
+    assert out["n_ops"] == 2
+    assert out["hbm_bytes"] == 2 * 5.0 * 100 * 1e3
+    assert out["peak_hbm_gbps"] is None
+
+
+def test_aggregate_roofline_traffic_empty():
+    assert profiling.aggregate_roofline_traffic([]) is None
+    assert profiling.aggregate_roofline_traffic(
+        [_roofline_table([])]) is None
+    # tables missing the needed columns are skipped, not fatal
+    bad = {"cols": [{"id": "x"}], "rows": [{"c": [{"v": 1}]}]}
+    assert profiling.aggregate_roofline_traffic([bad]) is None
