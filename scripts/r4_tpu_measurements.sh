@@ -31,11 +31,22 @@ for s in $STAGES; do case $s in
   hbm)     run hbm python scripts/profile_hbm.py ;;
   serving) run serving python scripts/bench_serving_paths.py ;;
   cap)
-    for cap in 0.6 0.9 1.0; do   # 0.75 is the shipped pin (r3 5-seed sweep)
+    # the r3-recipe revalidation REGRESSED ct2mri (selected_cr 0.62 vs r2's
+    # 0.78, oracle 0.70 vs 0.83): with the r3 LSGAN boundary fix the
+    # d_acc_cap=0.75 throttle actually engages (under the r2 biased-low
+    # d_acc it never did for LSGAN).  cap=1.0 reproduces the r2 training
+    # semantics exactly; 0.9 is the intermediate.  0.75 control = the
+    # 5-seed sweep_ct2mri run.
+    for cap in 1.0 0.9; do
       run "cap_${cap}" python scripts/seed_sweep.py --direction ct2mri \
-          --seeds 2 --set adapt.d_acc_cap=$cap \
+          --seeds 3 --set adapt.d_acc_cap=$cap \
           --out "results/ct2mri_cap_${cap}_sweep.json"
-    done ;;
+    done
+    # cross-check the forward direction: did 0.75 (vs no throttle) cause
+    # the mri2ct improvement, or is 1.0 better there too?
+    run cap_mri_1.0 python scripts/seed_sweep.py --direction mri2ct \
+        --seeds 3 --set adapt.d_acc_cap=1.0 \
+        --out "results/mri2ct_cap_1.0_sweep.json" ;;
   bench)   run bench python bench.py ;;
   *) echo "unknown stage: $s" >&2; exit 2 ;;
 esac; done

@@ -145,6 +145,21 @@ def main():
         d = 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
         return d, psum / jnp.sum(psum), ment
 
+    # the SHIPPED per-step EMA (adapt.dam_ema > 0: state.avg_* folded inside
+    # the jitted train step, equilibrium-gated) — probed as its own variant
+    # so a sweep with --set adapt.dam_ema=X prices the production dual
+    # policy, not just the harness's block-level EMAs
+    state_ema_on = cfg.adapt.dam_ema > 0.0
+    if state_ema_on:
+        a_fwd_avg = adapt_mod.adapted_forward(cfg, use_avg=True)
+
+        @jax.jit
+        def probe_state_ema(state):
+            inter, psum, ment = device_dice(state, vol_stacks, true_sums,
+                                            true_labels, a_fwd_avg, nc)
+            d = 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
+            return d, psum / jnp.sum(psum), ment
+
     def dice_of(state):
         return probe_of(state)[0]  # [C]; classes 1..4 are the structures
 
@@ -218,6 +233,9 @@ def main():
         cr_dual = adapt_mod.ClassRatioSelector(
             src_fracs, warmup_step=adapt_mod.select_warmup(cfg))
         dual_snapshot = None
+        cr_ship = adapt_mod.ClassRatioSelector(
+            src_fracs, warmup_step=adapt_mod.select_warmup(cfg))
+        ship_snapshot = None
         # raw EMA trees start at ZERO (bias-corrected at eval); w tracks the
         # accumulated weight.  No aliasing with the donated train state.
         zeros = jax.tree.map(jnp.zeros_like, (state.dam_params, state.tgt_bn))
@@ -258,9 +276,19 @@ def main():
                     rec[f"dice_{name}"] = rec["dice"]
                     rec[f"fracs_{name}"] = rec["fracs"]
                     rec[f"ent_{name}"] = rec["ent"]
+            if state_ema_on:
+                d_se, fr_se, ent_se = probe_state_ema(state)
+                rec["dice_state_ema"] = round(float(jnp.mean(d_se[1:])), 4)
+                rec["fracs_state_ema"] = [round(float(x), 5) for x in fr_se]
+                rec["ent_state_ema"] = round(float(ent_se), 5)
             cr_dual.update(step_i, rec["fracs"], variant="live")
             for name in VARIANTS:
                 cr_dual.update(step_i, rec[f"fracs_{name}"], variant=name)
+            if state_ema_on:
+                # the production dual policy: live vs the in-state EMA only
+                cr_ship.update(step_i, rec["fracs"], variant="live")
+                cr_ship.update(step_i, rec["fracs_state_ema"],
+                               variant="state_ema")
             curve.append(rec)
             if dmean > best_oracle[1]:
                 best_oracle = (step_i, dmean)
@@ -271,6 +299,11 @@ def main():
             if cr_dual.best_step == step_i:
                 v = cr_dual.best_variant
                 dual_snapshot = (step_i,
+                                 rec["dice" if v == "live" else f"dice_{v}"],
+                                 v)
+            if state_ema_on and cr_ship.best_step == step_i:
+                v = cr_ship.best_variant
+                ship_snapshot = (step_i,
                                  rec["dice" if v == "live" else f"dice_{v}"],
                                  v)
         # TTA delta on the end-of-run states (live + each EMA variant):
@@ -299,11 +332,23 @@ def main():
                else "live",
                "oracle": best_oracle[1], "oracle_step": best_oracle[0],
                "curve": curve}
+        if state_ema_on:
+            row["selected_ship"] = ship_snapshot[1] if ship_snapshot \
+                else final
+            row["selected_ship_step"] = ship_snapshot[0] if ship_snapshot \
+                else cfg.adapt.steps
+            row["selected_ship_variant"] = ship_snapshot[2] if ship_snapshot \
+                else "live"
+            row["state_ema_final"] = curve[-1].get("dice_state_ema", final)
         for name in VARIANTS:
             row[name] = curve[-1][f"dice_{name}"]
             row[f"{name}_best"] = max(c[f"dice_{name}"] for c in curve)
         rows.append(row)
-        print(f"[sweep] seed {seed}: final={final:.3f} "
+        ship_txt = (f"ship={row['selected_ship']:.3f}"
+                    f"@{row['selected_ship_step']}"
+                    f"/{row['selected_ship_variant']} "
+                    if "selected_ship" in row else "")
+        print(f"[sweep] seed {seed}: final={final:.3f} " + ship_txt +
               f"selected={row['selected']:.3f}@{row['selected_step']} "
               f"selected_cr={row['selected_cr']:.3f}"
               f"@{row['selected_cr_step']} "
@@ -328,6 +373,9 @@ def main():
            "final": agg("final"), "selected": agg("selected"),
            "selected_cr": agg("selected_cr"),
            "selected_dual": agg("selected_dual"),
+           **({"selected_ship": agg("selected_ship"),
+               "state_ema_final": agg("state_ema_final")}
+              if rows and "selected_ship" in rows[0] else {}),
            "oracle": agg("oracle"),
            **{n: agg(n) for n in VARIANTS},
            **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
