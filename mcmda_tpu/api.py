@@ -208,7 +208,10 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
 
 def _forward_for(cfg: ExperimentConfig, state):
     """Jitted eval forward for a source or adapted state (dispatch on
-    type) — shared by evaluate and predict."""
+    type) — shared by evaluate and predict.  Applies ``run.eval_bf16``
+    (serving-only precision) via ``config.eval_view``."""
+    from mcmda_tpu import config as config_mod
+    cfg = config_mod.eval_view(cfg)
     if isinstance(state, adapt_mod.AdaptState):
         return jax.jit(lambda img: adapt_mod.adapted_forward(cfg)(state, img))
     return jax.jit(lambda img: source_mod.make_eval_forward(cfg)(

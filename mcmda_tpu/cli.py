@@ -430,12 +430,16 @@ def _selected_weights(ckpt_path: str) -> str | None:
 def _restore_eval_forward(cfg, args):
     """Restore the checkpoint named by ``args.ckpt`` (already resolved) and
     build the jitted eval forward — source-only or adapted, honoring
-    ``--weights`` variant resolution and the fused-Pallas eval path.  Shared
-    by ``evaluate`` and ``predict``."""
+    ``--weights`` variant resolution, ``run.eval_bf16`` serving precision,
+    and the fused-Pallas eval path.  Shared by ``evaluate`` and
+    ``predict``."""
     import jax
+    from mcmda_tpu import config as config_mod
     from mcmda_tpu.models import segmenter
     from mcmda_tpu.train import adapt, source
     from mcmda_tpu.utils import checkpoint
+
+    cfg = config_mod.eval_view(cfg)
 
     if args.source_only:
         state = source.init_state(jax.random.key(0), cfg)

@@ -247,6 +247,12 @@ class RunConfig:
     # probabilities over the horizontal flip (2 forwards/slice; training
     # draws flips too, data.flip).  evaluate/predict --tta overrides.
     eval_tta: str = "none"
+    # Serving/eval-only bf16 compute: evaluate/predict build their forward
+    # with segmenter.compute_dtype=bfloat16, leaving the TRAINING dtype
+    # untouched (adversarial training is precision-sensitive — the measured
+    # bf16 quality cliffs in docs/roadmap.md — but the eval-mode forward is
+    # not; decision data in results/serving_paths.json).
+    eval_bf16: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -312,3 +318,15 @@ def _seg_from(d):
     if "compute_dtype" in d and isinstance(d["compute_dtype"], str):
         d["compute_dtype"] = jnp.dtype(d["compute_dtype"]).type
     return _mk(SegmenterConfig, d)
+
+
+def eval_view(cfg: ExperimentConfig) -> ExperimentConfig:
+    """The config the eval/serving forward should be built with: applies
+    ``run.eval_bf16`` (serving-only bf16 compute) without touching the
+    training dtype.  Every evaluate/predict entry point (cli, api) builds
+    its forward through this view."""
+    if not cfg.run.eval_bf16 or cfg.segmenter.compute_dtype == jnp.bfloat16:
+        return cfg
+    return dataclasses.replace(
+        cfg, segmenter=dataclasses.replace(cfg.segmenter,
+                                           compute_dtype=jnp.bfloat16))

@@ -165,3 +165,31 @@ def test_api_evaluate_tta_flip(tiny_config):
         context=tiny_config.data.context_slices,
         batch_size=tiny_config.data.batch_size)
     np.testing.assert_array_equal(preds[0], ref.astype(np.uint8))
+
+
+def test_api_eval_bf16_serving_precision(tiny_config):
+    """run.eval_bf16 builds the eval/serving forward at bf16 compute while
+    leaving the training dtype untouched (config.eval_view): predictions
+    stay close to the f32 forward, and the view is a no-op when off."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcmda_tpu import api, config as config_mod
+    from mcmda_tpu.data import synthetic
+
+    mri_v, mri_l = synthetic.make_dataset(0, "mri", 1, 8, 32)
+    src = api.train_source(tiny_config, mri_v, mri_l, steps=2)
+    assert config_mod.eval_view(tiny_config) is tiny_config
+    cfg16 = dataclasses.replace(
+        tiny_config, run=dataclasses.replace(tiny_config.run,
+                                             eval_bf16=True))
+    assert (config_mod.eval_view(cfg16).segmenter.compute_dtype
+            is jnp.bfloat16)
+    # the TRAINING view is untouched
+    assert cfg16.segmenter.compute_dtype is tiny_config.segmenter.compute_dtype
+    p32 = api.predict(tiny_config, src, mri_v, postprocess="none")[0]
+    p16 = api.predict(cfg16, src, mri_v, postprocess="none")[0]
+    # argmax labels: bf16 rounding may flip a few boundary pixels only
+    assert np.mean(p32 != p16) < 0.02
