@@ -368,7 +368,19 @@ def main():
                 "min": round(float(v.min()), 4),
                 "max": round(float(v.max()), 4)}
 
+    import subprocess
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip() or "unknown"
+    except OSError:
+        commit = "unknown"
     out = {"direction": args.direction, "seeds": args.seeds,
+           # artifact provenance (ADVICE r3): which code produced this
+           "commit": commit,
+           "time": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+           "overrides": list(args.set or []),
            "no_adapt": round(no_adapt, 4),
            "final": agg("final"), "selected": agg("selected"),
            "selected_cr": agg("selected_cr"),
