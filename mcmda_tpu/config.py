@@ -174,6 +174,12 @@ class AdaptConfig:
     # "batch"  — frozen params but batch statistics from target activations
     # "frozen" — use the source running statistics everywhere
     hlm_bn: str = "batch"
+    # Compute the target forward ONCE per step (jax.vjp): the primal feeds
+    # the D-phase critic inputs, the pullback closes the first G-step —
+    # bit-identical math, one fewer DAM+HLM forward per step.  false
+    # restores the two-forward oracle (also forced off by tgt_feats_bf16,
+    # where the two phases deliberately run at different dtypes).
+    share_tgt_fwd: bool = True
     # Per-step EMA decay for the averaged DAM weights (0 disables).  The
     # minimax orbits a good solution (adjacent-checkpoint Dice swings of
     # +/-0.3 measured on the benchmark); evaluating a weight average of the

@@ -154,9 +154,22 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
         taps, _ = tgt_forward(dam_params, state, x, cfg_fwd=d_seg_cfg)
         return {k: v.astype(jnp.float32) for k, v in taps.items()}
 
-    def d_step(state: AdaptState, x_src, x_tgt):
+    # ONE target forward per step (r4): within a step the k_d critic updates
+    # never touch ``dam_params``, so the D-phase target features and the
+    # first G-step's forward are the SAME function at the SAME point.  When
+    # the two phases share a dtype (tgt_feats_bf16 off — the shipped recipe;
+    # the bf16 D-view was measured a quality cliff, docs/roadmap.md), the
+    # step computes the target forward once under ``jax.vjp``: the primal
+    # feeds every D-phase critic input and the pullback closes the first
+    # G-step, saving a full DAM+HLM forward per step with bit-identical
+    # math.  ``adapt.share_tgt_fwd=false`` restores the two-forward oracle.
+    share_fwd = a.share_tgt_fwd and not a.tgt_feats_bf16
+
+    def d_step(state: AdaptState, x_src, f_tgt):
         f_src = src_taps(state.src_params, state.src_bn, x_src)
-        f_tgt = tgt_taps_d(state.dam_params, state, x_tgt)
+        # the critic's D-phase view is always f32 (statistical comparability
+        # with the f32-cast source taps), whatever dtype the forward ran at
+        f_tgt = {k: v.astype(jnp.float32) for k, v in f_tgt.items()}
 
         def loss(critic_params):
             l_s = critic_mod.flatten_logits(
@@ -224,6 +237,15 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
         return state.replace(critic_params=new_critic, opt_d_state=new_opt), \
             {"d_loss": dl, "d_acc": acc, "feat_div": fd, "feat_mmd": fmmd}
 
+    def _g_update(state: AdaptState, gl, grads, new_bn):
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+        updates, new_opt = tx_g.update(grads, state.opt_g_state,
+                                       state.dam_params)
+        new_dam = jax.tree.map(lambda p, u: p + u, state.dam_params, updates)
+        return state.replace(dam_params=new_dam, opt_g_state=new_opt,
+                             tgt_bn=new_bn), {"g_loss": gl}
+
     def g_step(state: AdaptState, x_tgt):
         def loss(dam_params):
             f_tgt, new_bn = tgt_forward(dam_params, state, x_tgt)
@@ -233,13 +255,20 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
 
         (gl, new_bn), grads = jax.value_and_grad(loss, has_aux=True)(
             state.dam_params)
-        if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
-        updates, new_opt = tx_g.update(grads, state.opt_g_state,
-                                       state.dam_params)
-        new_dam = jax.tree.map(lambda p, u: p + u, state.dam_params, updates)
-        return state.replace(dam_params=new_dam, opt_g_state=new_opt,
-                             tgt_bn=new_bn), {"g_loss": gl}
+        return _g_update(state, gl, grads, new_bn)
+
+    def g_step_shared(state: AdaptState, f_tgt, pullback, new_bn):
+        # first G-step off the shared forward: grad of the GAN loss wrt the
+        # target features (critic params are the POST-d_step ones), closed
+        # through the saved DAM+HLM linearization
+        def critic_loss(f):
+            l_t = critic_mod.flatten_logits(
+                critic_mod.apply(state.critic_params, f, cr_cfg))
+            return g_loss_fn(l_t)
+
+        gl, df = jax.value_and_grad(critic_loss)(f_tgt)
+        (grads,) = pullback(df)
+        return _g_update(state, gl, grads, new_bn)
 
     def step(state: AdaptState, batch, rng):
         if sample_from_device:
@@ -263,11 +292,23 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
         else:
             x_s, x_t = batch["src_image"], batch["tgt_image"]
         metrics = {}
+        # target features once per step: dam_params are constant across the
+        # k_d critic updates (and, in pretrain, across the whole step)
+        pull = new_bn = None
+        if share_fwd and train_g:
+            f_tgt, pull, new_bn = jax.vjp(
+                lambda dp: tgt_forward(dp, state, x_t), state.dam_params,
+                has_aux=True)
+        else:
+            f_tgt = tgt_taps_d(state.dam_params, state, x_t)
         for _i in range(a.k_d):
-            state, m = d_step(state, x_s, x_t)
+            state, m = d_step(state, x_s, f_tgt)
             metrics.update(m)
         if train_g:
-            for _i in range(a.k_g):
+            if pull is not None:
+                state, m = g_step_shared(state, f_tgt, pull, new_bn)
+                metrics.update(m)
+            for _i in range(a.k_g - (1 if pull is not None else 0)):
                 state, m = g_step(state, x_t)
                 metrics.update(m)
             if a.dam_ema > 0.0:

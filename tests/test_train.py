@@ -628,3 +628,33 @@ def test_feat_mmd_sees_variance_mismatch(adapt_setup):
     ft = float(jnp.mean(jnp.square(m2_s - m2_t)))      # >0: variances differ
     assert fd < 1e-8
     assert ft > 1e-3
+
+
+def test_shared_tgt_forward_matches_two_forward_oracle(adapt_setup):
+    """adapt.share_tgt_fwd (one vjp'd target forward feeding both phases)
+    is bit-equivalent math to the two-forward oracle: identical parameter
+    trajectories and metrics over several steps, incl. k_d/k_g > 1."""
+    import dataclasses
+
+    cfg, state0, batch = adapt_setup
+    for kd, kg in ((1, 1), (2, 2)):
+        cfg_kd = dataclasses.replace(
+            cfg, adapt=dataclasses.replace(cfg.adapt, k_d=kd, k_g=kg))
+        cfg_ref = dataclasses.replace(
+            cfg_kd, adapt=dataclasses.replace(cfg_kd.adapt,
+                                              share_tgt_fwd=False))
+        step = jax.jit(adapt.make_adapt_step(cfg_kd, augment=False))
+        step_ref = jax.jit(adapt.make_adapt_step(cfg_ref, augment=False))
+        s_a, s_b = state0, state0
+        for i in range(3):
+            s_a, m_a = step(s_a, batch, jax.random.key(i))
+            s_b, m_b = step_ref(s_b, batch, jax.random.key(i))
+        for a, b in zip(jax.tree.leaves((s_a.dam_params, s_a.critic_params,
+                                         s_a.tgt_bn, s_a.opt_g_state)),
+                        jax.tree.leaves((s_b.dam_params, s_b.critic_params,
+                                         s_b.tgt_bn, s_b.opt_g_state))):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+        for k in m_a:
+            np.testing.assert_allclose(np.asarray(m_a[k]),
+                                       np.asarray(m_b[k]),
+                                       rtol=2e-5, atol=2e-6)
