@@ -72,6 +72,11 @@ def main():
                    help="config override, same syntax as the CLI "
                         "(e.g. --set adapt.tgt_feats_bf16=true)")
     p.add_argument("--out", default=None)
+    p.add_argument("--first-seed", type=int, default=0,
+                   help="first seed index (resume/shard a sweep)")
+    p.add_argument("--merge", action="store_true",
+                   help="preload per-seed rows from an existing --out and "
+                        "merge (resume after a crash / add seeds)")
     args = p.parse_args()
 
     from mcmda_tpu import cli
@@ -215,8 +220,68 @@ def main():
         return jax.tree.map(lambda e, n: decay * e + (1 - decay) * n,
                             ema_state, new)
 
+    path = args.out or os.path.join("results",
+                                    f"{args.direction}_seed_sweep.json")
+
+    def agg(key, sub=None):
+        v = np.asarray([r[key][sub] if sub else r[key] for r in rows],
+                       np.float64)
+        return {"mean": round(float(v.mean()), 4),
+                "std": round(float(v.std()), 4),
+                "min": round(float(v.min()), 4),
+                "max": round(float(v.max()), 4)}
+
+    import subprocess
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))).stdout.strip() or "unknown"
+    except OSError:
+        commit = "unknown"
+
+    def write_out():
+        """(Re)write the output JSON from the rows so far — called after
+        EVERY seed, so a crashed/killed sweep loses at most the in-flight
+        seed and can resume with --merge --first-seed."""
+        out = {"direction": args.direction, "seeds": len(rows),
+               # artifact provenance (ADVICE r3): which code produced this
+               "commit": commit,
+               "time": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+               "overrides": list(args.set or []),
+               "no_adapt": round(no_adapt, 4),
+               "final": agg("final"), "selected": agg("selected"),
+               "selected_cr": agg("selected_cr"),
+               "selected_dual": agg("selected_dual"),
+               **({"selected_ship": agg("selected_ship"),
+                   "state_ema_final": agg("state_ema_final")}
+                  if rows and "selected_ship" in rows[0] else {}),
+               "oracle": agg("oracle"),
+               **{n: agg(n) for n in VARIANTS},
+               **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
+               "tta_live": agg("tta", sub="live"),
+               "src_fracs": [round(float(x), 5) for x in src_fracs],
+               "per_seed": [{k: v for k, v in r.items() if k != "curve"}
+                            for r in rows],
+               "curves": {r["seed"]: r["curve"] for r in rows}}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, path)
+        return out
+
     rows = []
-    for seed in range(args.seeds):
+    if args.merge and os.path.exists(path):
+        prev = json.load(open(path))
+        if prev.get("direction") != args.direction or \
+                prev.get("overrides", []) != list(args.set or []):
+            raise SystemExit(f"[sweep] refuse to merge into {path}: "
+                             "direction/overrides mismatch")
+        todo = set(range(args.first_seed, args.first_seed + args.seeds))
+        rows = [{**r, "curve": prev["curves"][str(r["seed"])]}
+                for r in prev["per_seed"] if r["seed"] not in todo]
+        print(f"[sweep] merged {len(rows)} existing seed rows from {path}")
+    for seed in range(args.first_seed, args.first_seed + args.seeds):
         t0 = time.time()
         scfg = dataclasses.replace(cfg, run=dataclasses.replace(
             cfg.run, seed=seed))
@@ -359,48 +424,10 @@ def main():
               f"tta_live={tta['live']:.3f} "
               + " ".join(f"{n}={row[n]:.3f}" for n in VARIANTS)
               + f" ({time.time() - t0:.0f}s)", flush=True)
+        rows.sort(key=lambda r: r["seed"])
+        out = write_out()
+        print(f"[sweep] wrote {path} ({len(rows)} seeds)", flush=True)
 
-    def agg(key, sub=None):
-        v = np.asarray([r[key][sub] if sub else r[key] for r in rows],
-                       np.float64)
-        return {"mean": round(float(v.mean()), 4),
-                "std": round(float(v.std()), 4),
-                "min": round(float(v.min()), 4),
-                "max": round(float(v.max()), 4)}
-
-    import subprocess
-    try:
-        commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-            text=True, cwd=os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))).stdout.strip() or "unknown"
-    except OSError:
-        commit = "unknown"
-    out = {"direction": args.direction, "seeds": args.seeds,
-           # artifact provenance (ADVICE r3): which code produced this
-           "commit": commit,
-           "time": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
-           "overrides": list(args.set or []),
-           "no_adapt": round(no_adapt, 4),
-           "final": agg("final"), "selected": agg("selected"),
-           "selected_cr": agg("selected_cr"),
-           "selected_dual": agg("selected_dual"),
-           **({"selected_ship": agg("selected_ship"),
-               "state_ema_final": agg("state_ema_final")}
-              if rows and "selected_ship" in rows[0] else {}),
-           "oracle": agg("oracle"),
-           **{n: agg(n) for n in VARIANTS},
-           **{f"{n}_best": agg(f"{n}_best") for n in VARIANTS},
-           "tta_live": agg("tta", sub="live"),
-           "src_fracs": [round(float(x), 5) for x in src_fracs],
-           "per_seed": [{k: v for k, v in r.items() if k != "curve"}
-                        for r in rows],
-           "curves": {r["seed"]: r["curve"] for r in rows}}
-    path = args.out or os.path.join("results",
-                                    f"{args.direction}_seed_sweep.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"[sweep] wrote {path}")
     print(json.dumps({k: out[k] for k in
                       ("no_adapt", "final", "selected", "selected_cr",
                        "selected_dual", "oracle")}))
