@@ -44,7 +44,14 @@ def test_shipped_configs_parse():
     assert cfg.adapt.d_acc_cap < 1.0
     # config-5 reverse direction discriminates on multi-level features
     with open(os.path.join(here, "configs", "ct2mri.json")) as f:
-        assert len(ExperimentConfig.from_json(f.read()).critic.taps) >= 2
+        cfg = ExperimentConfig.from_json(f.read())
+    assert len(cfg.critic.taps) >= 2
+    # r4 re-pin from the powered sweep (results/ct2mri_cap0.9_ev100_sweep
+    # .json, 5 seeds): the reverse direction's quality peaks are transients
+    # shorter than the default 250-step probe interval, so the shipped
+    # recipe pins the exact measured cadence + cap.
+    assert cfg.adapt.select_every == 100
+    assert cfg.adapt.d_acc_cap == 0.9
 
 
 def test_parser_subcommands():
