@@ -116,19 +116,9 @@ def augment_batch(rng, images, labels_onehot, cfg: DataConfig):
     """
     keys = jax.random.split(rng, images.shape[0])
     if cfg.warp == "pallas":
-        from mcmda_tpu.kernels import warp as warp_mod
-        h, w = images.shape[1], images.shape[2]
-        flip, theta, zoom, sy, sx = jax.vmap(
-            lambda k: _draw_params(k, cfg))(keys)
-        coefs = jax.vmap(lambda t, z, a, b, f: warp_mod.affine_coefs(
-            t, z, a, b, f, h, w))(theta, zoom, sy, sx, flip)
         ci = images.shape[-1]
-        band = warp_mod.band_bound(h, w, 8,
-                                   cfg.rotate_degrees * np.pi / 180.0,
-                                   cfg.zoom_range[0])
-        both = warp_mod.warp_affine(
-            jnp.concatenate([images, labels_onehot], -1), coefs,
-            max_band=band)
+        both = _pallas_warp(keys, jnp.concatenate([images, labels_onehot],
+                                                  -1), cfg)
         image, label = both[..., :ci], both[..., ci:]
         label = label / jnp.maximum(jnp.sum(label, axis=-1, keepdims=True),
                                     1e-6)
@@ -137,10 +127,33 @@ def augment_batch(rng, images, labels_onehot, cfg: DataConfig):
         keys, images, labels_onehot)
 
 
+def _pallas_warp(keys, images, cfg: DataConfig):
+    """MXU warp of a packed-channel batch with per-image params drawn from
+    ``keys`` (same draw structure as the XLA path — shared transforms)."""
+    from mcmda_tpu.kernels import warp as warp_mod
+    h, w = images.shape[1], images.shape[2]
+    flip, theta, zoom, sy, sx = jax.vmap(
+        lambda k: _draw_params(k, cfg))(keys)
+    coefs = jax.vmap(lambda t, z, a, b, f: warp_mod.affine_coefs(
+        t, z, a, b, f, h, w))(theta, zoom, sy, sx, flip)
+    band = warp_mod.band_bound(h, w, 8, cfg.rotate_degrees * np.pi / 180.0,
+                               cfg.zoom_range[0], jb=warp_mod.tile_width(w))
+    return warp_mod.warp_affine(images, coefs, max_band=band)
+
+
 def augment_images(rng, images, cfg: DataConfig):
-    """Image-only augmentation for the unlabeled target stream (T2)."""
+    """Image-only augmentation for the unlabeled target stream (T2).
+
+    The pallas path warps the images directly — the warp kernel's cost is
+    linear in channels, so routing through ``augment_batch`` with a dummy
+    label plane would spend 1/(C+1) of the kernel's MXU time on zeros
+    (measured 8.2% of the adapt step at C=3, scripts/profile_topops.py)."""
+    keys = jax.random.split(rng, images.shape[0])
+    if cfg.warp == "pallas":
+        return _pallas_warp(keys, images, cfg)
     dummy = jnp.zeros(images.shape[:3] + (1,), images.dtype)
-    out, _ = augment_batch(rng, images, dummy, cfg)
+    out, _ = jax.vmap(lambda k, i, l: augment_pair(k, i, l, cfg))(
+        keys, images, dummy)
     return out
 
 

@@ -26,8 +26,12 @@ ride the MXU in bf16; accumulation is f32).
 Layout is NCHW (W in lanes) throughout so every build/matmul/reduce/store is
 Mosaic-native; the NHWC<->NCHW transposes live outside in XLA where they fuse.
 
-Grid: (batch, H/RB).  Per step: RB output rows x C channels = RB.C matmuls
-[H,W]@[W,W] bf16 on a VMEM-resident input plane.
+Grid: (batch, H/RB, W/JB).  Per step: RB output rows x C channels matmuls
+[HB,W]@[W,JB] bf16 on a VMEM-resident input plane.  Tiling the output
+columns (JB lanes) tightens the y-band: ys over a JB-column tile spans
+|by|.(JB-1) instead of |by|.(W-1), so at the production geometry (256^2,
+15deg, JB=128) HB drops 96 -> 64 — a 1.5x FLOP cut on top of the y-band
+itself (the warp is MXU-bound at ~90% of bf16 peak, so FLOPs are time).
 """
 
 from __future__ import annotations
@@ -62,24 +66,28 @@ def affine_coefs(theta, zoom, shift_y, shift_x, flip, h: int, w: int):
 
 
 def _kernel(coef_ref, in_ref, out_ref, *, rb: int, h: int, w: int, c: int,
-            hb: int):
-    bi, i = pl.program_id(0), pl.program_id(1)
+            hb: int, jb: int):
+    bi, i, jt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     # whole [B, 6] coef table sits in SMEM (tiny); index by batch program id
     ay, by, cy = coef_ref[bi, 0], coef_ref[bi, 1], coef_ref[bi, 2]
     ax, bx, cx = coef_ref[bi, 3], coef_ref[bi, 4], coef_ref[bi, 5]
 
     # tpu.iota only produces integers; cast to f32 afterwards
-    j_lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(jnp.float32)
+    j0f = (jt * jb).astype(jnp.float32)
+    j_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (1, jb), 1).astype(jnp.float32) + j0f
     y_sub = jax.lax.broadcasted_iota(jnp.int32, (hb, 1), 0).astype(jnp.float32)
     x_sub = jax.lax.broadcasted_iota(jnp.int32, (w, 1), 0).astype(jnp.float32)
 
     # y-band: the rows this output block can touch. ys is affine, so its
-    # extrema over the block are at the 4 (row, j) corners; hb is a static
-    # bound the CALLER guarantees (from its rotation/zoom ranges).  Start is
-    # floored to a multiple of 8 (sublane-aligned dynamic slice).
+    # extrema over the block are at the 4 (row, j) corners of THIS column
+    # tile; hb is a static bound the CALLER guarantees (from its
+    # rotation/zoom ranges and the tile width).  Start is floored to a
+    # multiple of 8 (sublane-aligned dynamic slice).
     r0 = (i * rb).astype(jnp.float32)
     r1 = r0 + (rb - 1)
-    corners = [ay * r + by * j + cy for r in (r0, r1) for j in (0.0, w - 1.0)]
+    corners = [ay * r + by * j + cy
+               for r in (r0, r1) for j in (j0f, j0f + (jb - 1))]
     y_min = jnp.minimum(jnp.minimum(corners[0], corners[1]),
                         jnp.minimum(corners[2], corners[3])) - 1.0
     start = pl.multiple_of(jnp.clip(y_min.astype(jnp.int32) & ~7, 0, h - hb),
@@ -88,16 +96,16 @@ def _kernel(coef_ref, in_ref, out_ref, *, rb: int, h: int, w: int, c: int,
 
     for r in range(rb):  # static unroll: RB output rows per grid step
         row = (i * rb + r).astype(jnp.float32)
-        ys = ay * row + by * j_lane + cy                           # [1, W]
-        xs = ax * row + bx * j_lane + cx                           # [1, W]
+        ys = ay * row + by * j_lane + cy                           # [1, JB]
+        xs = ax * row + bx * j_lane + cx                           # [1, JB]
         # bilinear hat weights, built in-register (no HBM, no gather)
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_sub + band_f - ys))  # [HB, W]
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x_sub - xs))           # [W, W]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_sub + band_f - ys))  # [HB, JB]
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(x_sub - xs))           # [W, JB]
         valid = ((ys >= 0.0) & (ys <= h - 1.0)
                  & (xs >= 0.0) & (xs <= w - 1.0)).astype(jnp.float32)
         wx16 = wx.astype(jnp.bfloat16)
         for ch in range(c):  # static unroll over channels
-            b_yj = jax.lax.dot_general(                            # [HB, W]
+            b_yj = jax.lax.dot_general(                            # [HB, JB]
                 in_ref[0, ch, pl.ds(start, hb)], wx16,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -105,10 +113,20 @@ def _kernel(coef_ref, in_ref, out_ref, *, rb: int, h: int, w: int, c: int,
                                          keepdims=True) * valid)[0]
 
 
+def tile_width(w: int) -> int:
+    """Output-column tile (lane) width: 128 when the image width divides
+    into full lane tiles, else the whole width (no tiling)."""
+    return 128 if w % 128 == 0 and w > 128 else w
+
+
 def band_bound(h: int, w: int, rb: int, max_rotate_rad: float,
-               zoom_min: float) -> int:
+               zoom_min: float, jb: int | None = None) -> int:
     """Static y-band size covering any ys span an RB-row output block can
     have under the given rotation/zoom bounds.
+
+    ``jb``: output-column tile width the kernel will run with (see
+    ``tile_width``); the rotation term of the span scales with the tile
+    width, not the full image width.  None = untiled (jb = w).
 
     Slack accounting on top of the true corner-to-corner ys span: +-1 for
     the tri-weight support (2 rows), +1 for the fractional floor of y_min,
@@ -124,35 +142,42 @@ def band_bound(h: int, w: int, rb: int, max_rotate_rad: float,
     # (a draw near 90deg has the full (w-1)/zoom span)
     s_max = 1.0 if abs(max_rotate_rad) >= np.pi / 2 \
         else abs(np.sin(max_rotate_rad))
-    span = (rb - 1) / zoom_min + s_max * (w - 1) / zoom_min + 12
+    jspan = (w if jb is None else min(jb, w)) - 1
+    span = (rb - 1) / zoom_min + s_max * jspan / zoom_min + 12
     return min(h, int(-(-span // 8) * 8))
 
 
 def warp_affine_nchw(images_nchw, coefs, *, rb: int = 8,
-                     interpret: bool = False, max_band: int | None = None):
+                     interpret: bool = False, max_band: int | None = None,
+                     jb: int | None = None):
     """images [B, C, H, W] (any float dtype; matmul payload is bf16),
     coefs [B, 6] from ``affine_coefs`` -> warped [B, C, H, W] f32.
 
-    ``max_band``: static bound on the input-row span any RB-row output block
-    samples (use ``band_bound`` from the augmentation parameter ranges);
-    restricts each block's matmul to that band — the FLOP reduction is
-    h/max_band.  None = full height (always correct)."""
+    ``max_band``: static bound on the input-row span any RBxJB output block
+    samples (use ``band_bound`` from the augmentation parameter ranges WITH
+    the matching jb); restricts each block's matmul to that band — the FLOP
+    reduction is h/max_band.  None = full height (always correct).
+    ``jb``: output-column tile width; None = ``tile_width(w)``."""
     b, c, h, w = images_nchw.shape
     assert h % rb == 0, (h, rb)
+    jb = tile_width(w) if jb is None else jb
+    assert w % jb == 0, (w, jb)
     hb = h if max_band is None else min(h, max(8, max_band))
     x16 = images_nchw.astype(jnp.bfloat16)
-    kern = functools.partial(_kernel, rb=rb, h=h, w=w, c=c, hb=hb)
-    flops = 2 * b * c * h * hb * w  # one [HB,W]@[W,W] matmul per (b, row, ch)
+    kern = functools.partial(_kernel, rb=rb, h=h, w=w, c=c, hb=hb, jb=jb)
+    # one [HB,W]@[W,JB] matmul per (b, row, ch, tile); tiles*jb == w
+    flops = 2 * b * c * h * hb * w * w
     return pl.pallas_call(
         kern,
-        grid=(b, h // rb),
+        grid=(b, h // rb, w // jb),
         in_specs=[
-            pl.BlockSpec((b, 6), lambda bi, ii: (0, 0),
+            pl.BlockSpec((b, 6), lambda bi, ii, jt: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, c, h, w), lambda bi, ii: (bi, 0, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda bi, ii, jt: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, rb, w), lambda bi, ii: (bi, 0, ii, 0),
+        out_specs=pl.BlockSpec((1, c, rb, jb),
+                               lambda bi, ii, jt: (bi, 0, ii, jt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -164,10 +189,11 @@ def warp_affine_nchw(images_nchw, coefs, *, rb: int = 8,
 
 
 def warp_affine(images_nhwc, coefs, *, interpret: bool = False,
-                max_band: int | None = None):
+                max_band: int | None = None, jb: int | None = None):
     """NHWC wrapper: transposes fuse into neighboring XLA ops."""
     x = jnp.transpose(images_nhwc, (0, 3, 1, 2))
-    y = warp_affine_nchw(x, coefs, interpret=interpret, max_band=max_band)
+    y = warp_affine_nchw(x, coefs, interpret=interpret, max_band=max_band,
+                         jb=jb)
     return jnp.transpose(y, (0, 2, 3, 1)).astype(images_nhwc.dtype)
 
 

@@ -64,7 +64,7 @@ def top_ops_from_trace(logdir: str, top: int):
 
         steps = {str(val(r, "step", "")) for r in rows}
         want = "Total" if "Total" in steps else None
-        out = []
+        out = {}
         for r in rows:
             if want is not None and str(val(r, "step", "")) != want:
                 continue
@@ -73,9 +73,14 @@ def top_ops_from_trace(logdir: str, top: int):
                 "hbm_bw", "flop_rate", "measured_flop_rate", "bound_by",
                 "operation_intensity", "total_time_per_core")
                 if k in idx}
-            out.append(rec)
-        out.sort(key=lambda r: -(r.get("total_self_time") or 0.0))
-        return out[: top + 8], {"cols": cols}
+            # the roofline table repeats each op row (per-core duplicate of
+            # a single-core trace) — keep one row per op name, else every
+            # percentage doubles and the table truncates at half depth
+            # (the r4 adapt_topops.json artifact had exactly this defect)
+            out[str(rec.get("operation"))] = rec
+        out = sorted(out.values(),
+                     key=lambda r: -(r.get("total_self_time") or 0.0))
+        return out, {"cols": cols}
     return None
 
 
@@ -150,10 +155,20 @@ def main():
               f"bound={r.get('bound_by')}  {op[:110]}")
         if len(shown) >= args.top:
             break
+    by_cat = {}
+    for r in rows:
+        op = str(r.get("operation", "")).lower()
+        if op in ("total", "idle"):
+            continue
+        c = str(r.get("category", "?"))
+        by_cat[c] = by_cat.get(c, 0.0) + (r.get("total_self_time") or 0.0)
+    print("# by category:")
+    for c, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {100.0 * t / tot_us:6.2f}%  {t / args.steps:9.1f} us/step  {c}")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump({"steps": args.steps, "total_self_time_us": tot_us,
-                   "rows": shown}, f, indent=1)
+                   "by_category_us": by_cat, "rows": shown}, f, indent=1)
     print(f"wrote {args.out}")
     return 0
 

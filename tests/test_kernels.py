@@ -269,6 +269,48 @@ def test_fused_conv_production_tail_shapes():
                                    rtol=2e-4, atol=2e-3)
 
 
+def test_warp_column_tiled_worst_case_sweep():
+    """j-tiling (jb < W) computes a per-tile y-band; the tiled band_bound
+    must cover every tile at MAX rotation / MIN zoom across band-start
+    alignment phases (same adversarial sweep as the untiled test, at a
+    tiled geometry)."""
+    from mcmda_tpu.kernels import warp
+    H = W = 256
+    rot, zmin = np.deg2rad(15.0), 0.9
+    jb = warp.tile_width(W)
+    assert jb == 128  # must exercise the tiled path
+    band = warp.band_bound(H, W, 8, rot, zmin, jb=jb)
+    assert band < warp.band_bound(H, W, 8, rot, zmin)  # tiling tightens it
+    img = _rand(7, (1, H, W, 3))
+    for theta in (rot, -rot):
+        for sy in np.linspace(-10.0, 10.0, 5):
+            coefs = jax.vmap(lambda t, z, a, b, f: warp.affine_coefs(
+                t, z, a, b, f, H, W))(
+                jnp.asarray([theta]), jnp.asarray([zmin]),
+                jnp.asarray([float(sy)]), jnp.asarray([2.5]),
+                jnp.asarray([False]))
+            ref = warp.warp_affine_reference(img, coefs)
+            with pltpu.force_tpu_interpret_mode():
+                out = warp.warp_affine(img, coefs, max_band=band, jb=jb)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=0.02)
+
+
+def test_augment_images_pallas_matches_xla(tiny_config):
+    """The dummy-free image-only pallas path draws the same transforms as
+    the XLA path and matches it (adapt-step target/source streams)."""
+    import dataclasses
+    from mcmda_tpu.data import pipeline
+    cfg_x = tiny_config.data
+    cfg_p = dataclasses.replace(cfg_x, warp="pallas")
+    imgs = _rand(5, (4, 32, 32, 3))
+    key = jax.random.key(9)
+    ix = pipeline.augment_images(key, imgs, cfg_x)
+    with pltpu.force_tpu_interpret_mode():
+        ip = pipeline.augment_images(key, imgs, cfg_p)
+    np.testing.assert_allclose(np.asarray(ip), np.asarray(ix), atol=0.02)
+
+
 def test_warp_production_size_parity():
     """Interpret-mode warp parity at the production 256x256 geometry (15deg
     rotation range -> banded path with band 96): the y-band tiling and
