@@ -173,7 +173,8 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
     # (when weight averaging is on) the EMA average, selecting the better
     ref_fracs = adapt_mod.label_fractions(src_labels, cfg.data.num_classes)
     selector = adapt_mod.ClassRatioSelector(
-        ref_fracs, warmup_step=adapt_mod.select_warmup(cfg))
+        ref_fracs, warmup_step=adapt_mod.select_warmup(cfg),
+        policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk)
     select_probe = adapt_mod.SelectionProbe(
         adapt_mod.make_select_bundle(cfg, probe_images,
                                      dual=cfg.adapt.dam_ema > 0),

@@ -288,7 +288,8 @@ def cmd_adapt(args):
     eq_selector = adapt.EquilibriumSelector(
         warmup_step=cfg.adapt.pretrain_steps + cfg.adapt.steps // 5)
     cr_selector = adapt.ClassRatioSelector(
-        ref_fracs, warmup_step=adapt.select_warmup(cfg))
+        ref_fracs, warmup_step=adapt.select_warmup(cfg),
+        policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk)
     selector = cr_selector if cfg.adapt.select_signal == "class_ratio" \
         else eq_selector
     # The probe cadence (cfg.adapt.select_every) is independent of

@@ -224,6 +224,20 @@ class AdaptConfig:
     # granularity (0.78/0.80 mean Dice vs 0.69/0.78 at 1000) without 4x
     # checkpoint I/O.  0 falls back to the ckpt_every cadence.
     select_every: int = 250
+    # Final-pick policy over class-ratio-selected candidates:
+    # "cr"     — argmin class-ratio distance (the r2/r3 behavior)
+    # "cr_ent" — keep the ``select_topk`` lowest-cr candidates and pick by
+    #            rank-combined 2*rank(cr) + rank(mean prediction entropy):
+    #            among prior-plausible checkpoints, prefer the most
+    #            confident predictions.  Offline-validated over 54 seeds /
+    #            14 sweep artifacts (scripts/analyze_selection.py shapes):
+    #            +0.030 ct2mri ev100 / +0.013 mri2ct r3 mean Dice, min seed
+    #            never worse (docs/design.md section 5c).
+    select_policy: str = "cr_ent"
+    # Reservoir size for select_policy="cr_ent" (16 measured: matches the
+    # full-curve rank policy on every sweep; host stash is topk small
+    # DAM+BN copies)
+    select_topk: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

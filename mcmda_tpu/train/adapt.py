@@ -415,16 +415,70 @@ class ClassRatioSelector(_BestScoreSelector):
 
     signal = "class_ratio"
 
-    def __init__(self, ref_fracs, warmup_step: int = 0):
+    def __init__(self, ref_fracs, warmup_step: int = 0,
+                 policy: str = "cr", topk: int = 16):
         super().__init__(warmup_step)
         import numpy as np
         self.ref_fracs = np.asarray(ref_fracs, np.float64)
+        self.policy = policy
+        self.topk = max(1, topk)
+        # cr_ent reservoir: the topk lowest-cr candidates seen so far, each
+        # {step, variant, cr, ent}; the current pick is re-derived after
+        # every update by rank-combining 2*rank(cr) + rank(ent) WITHIN the
+        # reservoir (config.AdaptConfig.select_policy).
+        self.reservoir: list = []
 
-    def update(self, step: int, pred_fracs, variant: str = "live") -> float:
+    def keep_steps(self):
+        """Candidate (step, variant) pairs whose weights must stay stashed
+        (the whole reservoir under cr_ent; just the best under cr)."""
+        if self.policy == "cr_ent":
+            return {(c["step"], c["variant"]) for c in self.reservoir}
+        return ({(self.best_step, self.best_variant)}
+                if self.best_step is not None else set())
+
+    def _repick(self) -> None:
+        import numpy as np
+        if not self.reservoir:
+            return
+        crs = np.asarray([c["cr"] for c in self.reservoir])
+        ents = np.asarray([c["ent"] for c in self.reservoir])
+        score = 2.0 * crs.argsort().argsort() + ents.argsort().argsort()
+        best = self.reservoir[int(np.argmin(score))]
+        self.best_step = best["step"]
+        self.best_score = best["cr"]
+        self.best_variant = best["variant"]
+
+    def update(self, step: int, pred_fracs, variant: str = "live",
+               ent: float | None = None) -> float:
         import numpy as np
         score = float(np.abs(np.asarray(pred_fracs, np.float64)
                              - self.ref_fracs).sum())
-        return self._record(step, score, variant)
+        if self.policy != "cr_ent" or ent is None:
+            return self._record(step, score, variant)
+        if step < self.warmup_step:
+            return score
+        self.reservoir.append({"step": step, "variant": variant,
+                               "cr": score, "ent": float(ent)})
+        self.reservoir.sort(key=lambda c: c["cr"])
+        del self.reservoir[self.topk:]
+        self._repick()
+        return score
+
+    def save(self, out_dir: str) -> None:
+        import json
+        import os
+        if self.best_step is None:
+            return
+        payload = {"signal": self.signal, "policy": self.policy,
+                   "best_step": int(self.best_step),
+                   "best_score": self.best_score,
+                   "weights": self.best_variant}
+        if self.policy == "cr_ent":
+            payload["reservoir"] = [
+                {"step": int(c["step"]), "variant": c["variant"],
+                 "cr": c["cr"], "ent": c["ent"]} for c in self.reservoir]
+        with open(os.path.join(out_dir, "selection.json"), "w") as f:
+            json.dump(payload, f)
 
 
 def select_warmup(cfg: ExperimentConfig) -> int:
@@ -446,10 +500,12 @@ def label_fractions(labels, num_classes: int):
 
 def make_class_ratio_probe(cfg: ExperimentConfig, probe_images,
                            use_avg: bool = False):
-    """Jitted ``state -> predicted class fractions[C]`` on a fixed stack of
-    (unlabeled) target probe slices — ONE device dispatch per checkpoint
-    interval.  ``probe_images``: [N,H,W,ctx] array, N a multiple of the
-    batch size (pad by repeating the last slice)."""
+    """Jitted ``state -> (predicted class fractions[C], mean prediction
+    entropy)`` on a fixed stack of (unlabeled) target probe slices — ONE
+    device dispatch per checkpoint interval.  ``probe_images``: [N,H,W,ctx]
+    array, N a multiple of the batch size (pad by repeating the last
+    slice).  The entropy (mean per-pixel -sum p log p over valid rows) is
+    the confidence signal the "cr_ent" selection policy ranks with."""
     fwd = adapted_forward(cfg, use_avg=use_avg)
     b = cfg.data.batch_size
     n = probe_images.shape[0]
@@ -469,12 +525,20 @@ def make_class_ratio_probe(cfg: ExperimentConfig, probe_images,
 
     @jax.jit
     def probe(state):
-        def body(_, xb):
-            return None, jnp.argmax(fwd(state, xb), -1).astype(jnp.int32)
-        _, preds = jax.lax.scan(body, None, stacks)   # [nb, b, H, W]
+        def body(ent_sum, args):
+            xb, vb = args
+            probs = fwd(state, xb)
+            p = jnp.clip(probs.astype(jnp.float32), 1e-8, 1.0)
+            ent = -jnp.sum(p * jnp.log(p), axis=-1)      # [b, H, W]
+            return ent_sum + jnp.sum(ent * vb), \
+                jnp.argmax(probs, -1).astype(jnp.int32)
+
+        ent_total, preds = jax.lax.scan(body, jnp.float32(0.0),
+                                        (stacks, valid))  # [nb, b, H, W]
         oh = jax.nn.one_hot(preds, nc, dtype=jnp.float32)
         counts = jnp.sum(oh * valid[..., None], axis=(0, 1, 2, 3))
-        return counts / jnp.sum(counts)
+        n_valid = jnp.float32(n) * stacks.shape[2] * stacks.shape[3]
+        return counts / jnp.sum(counts), ent_total / n_valid
 
     return probe
 
@@ -497,11 +561,14 @@ def make_select_bundle(cfg: ExperimentConfig, probe_images,
 
     @jax.jit
     def bundle(state: AdaptState) -> dict:
-        out = {"fracs_live": probe_live(state),
+        fracs, ent = probe_live(state)
+        out = {"fracs_live": fracs, "ent_live": ent,
                "weights_live": jax.tree.map(jnp.copy,
                                             eval_weights(state, False))}
         if probe_avg is not None:
-            out["fracs_avg"] = probe_avg(state)
+            fracs_a, ent_a = probe_avg(state)
+            out["fracs_avg"] = fracs_a
+            out["ent_avg"] = ent_a
             out["weights_avg"] = jax.tree.map(jnp.copy,
                                               eval_weights(state, True))
         return out
@@ -538,6 +605,9 @@ class SelectionProbe:
         self._save_ok = save_ok
         self._pending = None
         self.best_stash: dict = {}
+        # host copies of every candidate the cr reservoir still holds,
+        # keyed (step, variant); pruned as candidates are evicted
+        self._stash: dict = {}
 
     def __call__(self, step: int, state, metrics=None) -> None:
         out = self._bundle(state)       # async dispatch; no host sync
@@ -556,15 +626,38 @@ class SelectionProbe:
             scalars["equilibrium_dist"] = self._eq.update(
                 step, {"d_acc": float(d_acc)})
         scalars["class_ratio_dist"] = self._cr.update(
-            step, np.asarray(out["fracs_live"]))
+            step, np.asarray(out["fracs_live"]),
+            ent=float(out["ent_live"]) if "ent_live" in out else None)
+        if "ent_live" in out:
+            scalars["probe_entropy"] = float(out["ent_live"])
         if "fracs_avg" in out:
             scalars["class_ratio_dist_avg"] = self._cr.update(
-                step, np.asarray(out["fracs_avg"]), variant="avg")
+                step, np.asarray(out["fracs_avg"]), variant="avg",
+                ent=float(out["ent_avg"]) if "ent_avg" in out else None)
         if self._logger is not None:
             self._logger.log(step, scalars)
-        if self.primary.best_step == step:
-            variant = getattr(self.primary, "best_variant", "live")
-            dam, bn = out["weights_avg" if variant == "avg"
+        # stash host copies of any candidate the selector still wants (the
+        # whole cr_ent reservoir; just the current best under "cr"/eq) and
+        # prune the evicted ones, then point best_stash (mutated IN PLACE —
+        # callers hold a reference) at the current pick
+        ks = self._cr.keep_steps() if hasattr(self._cr, "keep_steps") \
+            else set()
+        for variant, wkey in (("live", "weights_live"),
+                              ("avg", "weights_avg")):
+            if wkey in out and (step, variant) in ks:
+                self._stash[(step, variant)] = jax.device_get(out[wkey])
+        for k in list(self._stash):
+            if k not in ks:
+                del self._stash[k]
+        bk = (self.primary.best_step,
+              getattr(self.primary, "best_variant", "live"))
+        if bk in self._stash:
+            dam, bn = self._stash[bk]
+            self.best_stash["dam_params"] = dam
+            self.best_stash["tgt_bn"] = bn
+        elif self.primary.best_step == step:
+            # primary without a reservoir (EquilibriumSelector)
+            dam, bn = out["weights_avg" if bk[1] == "avg"
                           else "weights_live"]
             self.best_stash["dam_params"] = jax.device_get(dam)
             self.best_stash["tgt_bn"] = jax.device_get(bn)
@@ -573,6 +666,8 @@ class SelectionProbe:
 
     def protect_steps(self):
         """Prune-protection set for ``loop.run(protect_steps=)``."""
+        if hasattr(self.primary, "keep_steps"):
+            return {s for s, _v in self.primary.keep_steps()}
         return ({self.primary.best_step}
                 if self.primary.best_step is not None else ())
 

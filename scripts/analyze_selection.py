@@ -42,6 +42,20 @@ def replay(curve, src_fracs, variants):
     return best[2]
 
 
+def replay_cr_ent(curve, src_fracs, topk: int = 16):
+    """The shipped "cr_ent" reservoir policy (config.AdaptConfig
+    .select_policy): keep the topk lowest-cr (live-variant) candidates,
+    pick by 2*rank(cr) + rank(ent) within the reservoir."""
+    recs = [r for r in curve if r["step"] >= WARMUP]
+    cr = np.array([float(np.abs(np.asarray(r["fracs"], np.float64)
+                                - src_fracs).sum()) for r in recs])
+    ent = np.array([r["ent"] for r in recs])
+    dice = np.array([r["dice"] for r in recs])
+    idx = np.argsort(cr)[:topk]
+    s = 2.0 * cr[idx].argsort().argsort() + ent[idx].argsort().argsort()
+    return dice[idx[np.argmin(s)]]
+
+
 def main():
     policies = {
         "live": ("live",),
@@ -68,6 +82,12 @@ def main():
             rows[name] = v
             print(f"  {name:18s} mean {v.mean():.4f} ± {v.std():.4f}  "
                   f"min {v.min():.4f}  per-seed "
+                  + " ".join(f"{x:.3f}" for x in v))
+        if "ent" in next(iter(d["curves"].values()))[0]:
+            v = np.asarray([replay_cr_ent(c, src_fracs)
+                            for c in d["curves"].values()], np.float64)
+            print(f"  {'cr_ent (shipped)':18s} mean {v.mean():.4f} ± "
+                  f"{v.std():.4f}  min {v.min():.4f}  per-seed "
                   + " ".join(f"{x:.3f}" for x in v))
     return 0
 

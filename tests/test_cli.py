@@ -52,6 +52,13 @@ def test_shipped_configs_parse():
     # recipe pins the exact measured cadence + cap.
     assert cfg.adapt.select_every == 100
     assert cfg.adapt.d_acc_cap == 0.9
+    # r4 serving precision: bf16 eval measured at production geometry
+    # (results/synthetic_mri2ct_adapted_bf16.json, mean Dice delta 0.0003
+    # vs f32) with a +13% serving-throughput win (results/serving_paths
+    # .json); training precision is untouched (config.eval_view)
+    for name in ("mri2ct.json", "ct2mri.json"):
+        with open(os.path.join(here, "configs", name)) as f:
+            assert ExperimentConfig.from_json(f.read()).run.eval_bf16
 
 
 def test_parser_subcommands():

@@ -425,7 +425,9 @@ def test_label_fractions_and_ratio_probe(tiny_config):
     state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
     imgs = np.asarray(_batch(cfg, 0, "ct")["image"])  # [B,H,W,ctx]
     probe = adapt.make_class_ratio_probe(cfg, imgs)
-    got = np.asarray(probe(state))
+    got, ent = probe(state)
+    got = np.asarray(got)
+    assert np.isfinite(float(ent)) and float(ent) >= 0.0
     fwd = adapt.adapted_forward(cfg)
     preds = np.asarray(jnp.argmax(fwd(state, jnp.asarray(imgs)), -1))
     want = np.bincount(preds.reshape(-1), minlength=5) / preds.size
@@ -482,7 +484,7 @@ def test_select_bundle_copies_survive_donation(tiny_config):
     src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)
     state = adapt.init_state(jax.random.key(1), cfg, src_params, src_bn)
     imgs = np.asarray(_batch(cfg, 0, "ct")["image"])
-    want_fracs = np.asarray(adapt.make_class_ratio_probe(cfg, imgs)(state))
+    want_fracs = np.asarray(adapt.make_class_ratio_probe(cfg, imgs)(state)[0])
     want_dam = jax.device_get(state.dam_params)
 
     bundle = adapt.make_select_bundle(cfg, imgs, dual=False)
@@ -538,11 +540,18 @@ def test_probe_masks_padding_rows(tiny_config):
     n = b + 1  # forces (2*b - n) padded rows
     stacked = np.concatenate([imgs, imgs[:1]], 0)[:n]
     probe = adapt.make_class_ratio_probe(cfg, stacked)
-    got = np.asarray(probe(state))
+    got, ent_pad = probe(state)
+    got = np.asarray(got)
     fwd = adapt.adapted_forward(cfg)
-    preds = np.asarray(jnp.argmax(fwd(state, jnp.asarray(stacked)), -1))
+    probs = fwd(state, jnp.asarray(stacked))
+    preds = np.asarray(jnp.argmax(probs, -1))
     want = np.bincount(preds.reshape(-1), minlength=5) / preds.size
     np.testing.assert_allclose(got, want, atol=1e-6)
+    # entropy must mask padding the same way: mean per-pixel entropy over
+    # the N real slices only
+    p = np.clip(np.asarray(probs, np.float64), 1e-8, 1.0)
+    want_ent = float((-(p * np.log(p)).sum(-1)).mean())
+    np.testing.assert_allclose(float(ent_pad), want_ent, rtol=1e-4)
 
 
 def test_prune_removes_stale_tmp_dirs(tmp_path, tiny_config):
@@ -658,3 +667,87 @@ def test_shared_tgt_forward_matches_two_forward_oracle(adapt_setup):
             np.testing.assert_allclose(np.asarray(m_a[k]),
                                        np.asarray(m_b[k]),
                                        rtol=2e-5, atol=2e-6)
+
+
+def test_cr_ent_reservoir_selection(tmp_path):
+    """select_policy="cr_ent": the selector keeps the topk lowest-cr
+    candidates and picks by 2*rank(cr)+rank(ent) within them; the probe
+    stash holds exactly the reservoir and best_stash follows the pick even
+    when it moves to an OLDER step."""
+    import json
+    ref = np.array([0.5, 0.5])
+    cr = adapt.ClassRatioSelector(ref, warmup_step=0, policy="cr_ent",
+                                  topk=2)
+
+    def bundle(st):
+        return {"fracs_live": jnp.asarray(st["fracs"]),
+                "ent_live": jnp.float32(st["ent"]),
+                "weights_live": (jnp.full((2,), st["marker"]),
+                                 jnp.zeros(1))}
+
+    probe = adapt.SelectionProbe(bundle, primary=cr, cr_selector=cr,
+                                 save_dir=str(tmp_path))
+    # (step, fracs -> cr score, ent, marker)
+    ticks = [
+        (10, [0.60, 0.40], 0.30, 1.0),  # cr 0.2
+        (20, [0.55, 0.45], 0.90, 2.0),  # cr 0.1 — best cr, but high ent
+        (30, [0.57, 0.43], 0.10, 3.0),  # cr 0.14, lowest ent
+        (40, [0.90, 0.10], 0.01, 4.0),  # cr 0.8 — never enters topk=2
+    ]
+    for step, fracs, ent, marker in ticks:
+        probe(step, {"fracs": np.asarray(fracs, np.float32), "ent": ent,
+                     "marker": marker})
+    probe.flush()
+    # reservoir = {20 (cr rank 0, ent rank 1 -> 1), 30 (cr rank 1, ent
+    # rank 0 -> 2)}: step 20 wins 2*0+1 < 2*1+0
+    assert cr.best_step == 20
+    assert {s for s, _ in cr.keep_steps()} == {20, 30}
+    assert probe.protect_steps() == {20, 30}
+    np.testing.assert_array_equal(
+        np.asarray(probe.best_stash["dam_params"]), np.full((2,), 2.0))
+    rec = json.load(open(tmp_path / "selection.json"))
+    assert rec["policy"] == "cr_ent" and rec["best_step"] == 20
+    assert len(rec["reservoir"]) == 2
+
+    # a later candidate with mid cr and tiny ent flips the pick to ITSELF,
+    # evicting step 30; the stash must still hold the new pick's weights
+    probe(50, {"fracs": np.asarray([0.56, 0.44], np.float32), "ent": 0.05,
+               "marker": 5.0})
+    probe.flush()
+    # reservoir = {20: cr 0.1 ent 0.9 -> 2*0+1=1, 50: cr 0.12 ent 0.05 ->
+    # 2*1+0=2}: 20 still wins on cr rank
+    assert cr.best_step == 20
+    assert {s for s, _ in cr.keep_steps()} == {20, 50}
+    # step 30's stash entry must be pruned
+    assert (30, "live") not in probe._stash and (50, "live") in probe._stash
+
+
+def test_cr_ent_pick_moves_to_older_step(tmp_path):
+    """When a new LOW-cr high-ent candidate enters, the rank combo can move
+    the pick to an older reservoir member whose weights were stashed ticks
+    ago — best_stash must produce that older snapshot."""
+    ref = np.array([0.5, 0.5])
+    cr = adapt.ClassRatioSelector(ref, warmup_step=0, policy="cr_ent",
+                                  topk=3)
+
+    def bundle(st):
+        return {"fracs_live": jnp.asarray(st["fracs"]),
+                "ent_live": jnp.float32(st["ent"]),
+                "weights_live": (jnp.full((2,), st["marker"]),
+                                 jnp.zeros(1))}
+
+    probe = adapt.SelectionProbe(bundle, primary=cr, cr_selector=cr)
+    ticks = [
+        (10, [0.58, 0.42], 0.10, 1.0),  # cr 0.16, ent lowest
+        (20, [0.56, 0.44], 0.50, 2.0),  # cr 0.12
+        (30, [0.55, 0.45], 0.80, 3.0),  # cr 0.10, ent highest
+    ]
+    for step, fracs, ent, marker in ticks:
+        probe(step, {"fracs": np.asarray(fracs, np.float32), "ent": ent,
+                     "marker": marker})
+    probe.flush()
+    # ranks: cr -> 30:0 20:1 10:2; ent -> 10:0 20:1 30:2
+    # scores: 30 -> 2, 20 -> 3, 10 -> 4: step 30 wins
+    assert cr.best_step == 30
+    np.testing.assert_array_equal(
+        np.asarray(probe.best_stash["dam_params"]), np.full((2,), 3.0))
