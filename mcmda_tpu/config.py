@@ -180,6 +180,14 @@ class AdaptConfig:
     # restores the two-forward oracle (also forced off by tgt_feats_bf16,
     # where the two phases deliberately run at different dtypes).
     share_tgt_fwd: bool = True
+    # Apply the critic ONCE per D-step on the batch-concatenated
+    # [f_src; f_tgt] features instead of twice at batch B: the critic is
+    # per-sample math end-to-end (convs + instance norm), so the logits are
+    # identical up to fp summation order, and the doubled batch fills the
+    # MXU better at the small critic geometries (the step is
+    # occupancy-limited at batch 8 — results/adapt_topops.json).  false
+    # restores the two-apply oracle.
+    batch_critic: bool = True
     # Per-step EMA decay for the averaged DAM weights (0 disables).  The
     # minimax orbits a good solution (adjacent-checkpoint Dice swings of
     # +/-0.3 measured on the benchmark); evaluating a weight average of the

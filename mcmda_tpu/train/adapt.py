@@ -172,10 +172,21 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
         f_tgt = {k: v.astype(jnp.float32) for k, v in f_tgt.items()}
 
         def loss(critic_params):
-            l_s = critic_mod.flatten_logits(
-                critic_mod.apply(critic_params, f_src, cr_cfg))
-            l_t = critic_mod.flatten_logits(
-                critic_mod.apply(critic_params, f_tgt, cr_cfg))
+            if a.batch_critic:
+                # one apply on [f_src; f_tgt]: per-sample math (convs +
+                # instance norm), so identical logits up to fp summation
+                # order, at twice the batch for the small critic convs
+                n = f_src[cr_cfg.taps[0]].shape[0]
+                f_both = {t: jnp.concatenate([f_src[t], f_tgt[t]], axis=0)
+                          for t in cr_cfg.taps}
+                l = critic_mod.flatten_logits(
+                    critic_mod.apply(critic_params, f_both, cr_cfg))
+                l_s, l_t = l[:n], l[n:]
+            else:
+                l_s = critic_mod.flatten_logits(
+                    critic_mod.apply(critic_params, f_src, cr_cfg))
+                l_t = critic_mod.flatten_logits(
+                    critic_mod.apply(critic_params, f_tgt, cr_cfg))
             dl = d_loss_fn(l_s, l_t, a.label_smooth)
             if a.r1_gamma > 0:
                 # R1: penalize the critic's gradient norm on real (source)

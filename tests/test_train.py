@@ -669,6 +669,37 @@ def test_shared_tgt_forward_matches_two_forward_oracle(adapt_setup):
                                        rtol=2e-5, atol=2e-6)
 
 
+def test_batch_critic_matches_two_apply_oracle(adapt_setup):
+    """adapt.batch_critic (one critic apply on [f_src; f_tgt]) is per-sample
+    math, so parameter trajectories and metrics match the two-apply oracle
+    (up to fp summation order) over several steps, incl. with R1 on."""
+    import dataclasses
+
+    cfg, state0, batch = adapt_setup
+    for r1 in (0.0, 0.1):
+        cfg_b = dataclasses.replace(
+            cfg, adapt=dataclasses.replace(cfg.adapt, batch_critic=True,
+                                           r1_gamma=r1))
+        cfg_ref = dataclasses.replace(
+            cfg_b, adapt=dataclasses.replace(cfg_b.adapt,
+                                             batch_critic=False))
+        step = jax.jit(adapt.make_adapt_step(cfg_b, augment=False))
+        step_ref = jax.jit(adapt.make_adapt_step(cfg_ref, augment=False))
+        s_a, s_b = state0, state0
+        for i in range(3):
+            s_a, m_a = step(s_a, batch, jax.random.key(i))
+            s_b, m_b = step_ref(s_b, batch, jax.random.key(i))
+        for a, b in zip(jax.tree.leaves((s_a.dam_params, s_a.critic_params,
+                                         s_a.tgt_bn, s_a.opt_g_state)),
+                        jax.tree.leaves((s_b.dam_params, s_b.critic_params,
+                                         s_b.tgt_bn, s_b.opt_g_state))):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+        for k in m_a:
+            np.testing.assert_allclose(np.asarray(m_a[k]),
+                                       np.asarray(m_b[k]),
+                                       rtol=2e-5, atol=2e-6)
+
+
 def test_cr_ent_reservoir_selection(tmp_path):
     """select_policy="cr_ent": the selector keeps the topk lowest-cr
     candidates and picks by 2*rank(cr)+rank(ent) within them; the probe
