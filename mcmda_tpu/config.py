@@ -183,11 +183,12 @@ class AdaptConfig:
     # Apply the critic ONCE per D-step on the batch-concatenated
     # [f_src; f_tgt] features instead of twice at batch B: the critic is
     # per-sample math end-to-end (convs + instance norm), so the logits are
-    # identical up to fp summation order, and the doubled batch fills the
-    # MXU better at the small critic geometries (the step is
-    # occupancy-limited at batch 8 — results/adapt_topops.json).  false
-    # restores the two-apply oracle.
-    batch_critic: bool = True
+    # identical up to fp summation order (gradient-exact at r1_gamma=0,
+    # tests/test_train.py::test_batch_critic_grad_equivalence).  MEASURED
+    # (r5, results/batching_bench.json): +0.2% step time — performance-
+    # NEUTRAL at production geometry, so the two-apply oracle stays the
+    # default; the concat path remains available and tested.
+    batch_critic: bool = False
     # Per-step EMA decay for the averaged DAM weights (0 disables).  The
     # minimax orbits a good solution (adjacent-checkpoint Dice swings of
     # +/-0.3 measured on the benchmark); evaluating a weight average of the

@@ -306,7 +306,7 @@ def make_adapt_step(cfg: ExperimentConfig, axis_name: str | None = None,
         # target features once per step: dam_params are constant across the
         # k_d critic updates (and, in pretrain, across the whole step)
         pull = new_bn = None
-        if share_fwd and train_g:
+        if share_fwd and train_g and a.k_g > 0:
             f_tgt, pull, new_bn = jax.vjp(
                 lambda dp: tgt_forward(dp, state, x_t), state.dam_params,
                 has_aux=True)
@@ -447,14 +447,23 @@ class ClassRatioSelector(_BestScoreSelector):
         return ({(self.best_step, self.best_variant)}
                 if self.best_step is not None else set())
 
-    def _repick(self) -> None:
+    def ranked(self) -> list:
+        """Reservoir candidates sorted by the cr_ent combined rank score
+        (2*rank(cr) + rank(ent), ascending — best first)."""
         import numpy as np
         if not self.reservoir:
-            return
+            return []
         crs = np.asarray([c["cr"] for c in self.reservoir])
         ents = np.asarray([c["ent"] for c in self.reservoir])
         score = 2.0 * crs.argsort().argsort() + ents.argsort().argsort()
-        best = self.reservoir[int(np.argmin(score))]
+        return [self.reservoir[i]
+                for i in np.argsort(score, kind="stable")]
+
+    def _repick(self) -> None:
+        order = self.ranked()
+        if not order:
+            return
+        best = order[0]
         self.best_step = best["step"]
         self.best_score = best["cr"]
         self.best_variant = best["variant"]
@@ -465,6 +474,15 @@ class ClassRatioSelector(_BestScoreSelector):
         score = float(np.abs(np.asarray(pred_fracs, np.float64)
                              - self.ref_fracs).sum())
         if self.policy != "cr_ent" or ent is None:
+            if self.policy == "cr_ent":
+                # the production bundle always supplies ent; a mixed
+                # with/without-ent sequence would leave best_step outside
+                # the reservoir and break SelectionProbe's stash lookup
+                import warnings
+                warnings.warn(
+                    "ClassRatioSelector(policy='cr_ent') got ent=None; "
+                    "falling back to plain class-ratio recording for this "
+                    "update — selection quality may degrade", stacklevel=2)
             return self._record(step, score, variant)
         if step < self.warmup_step:
             return score
@@ -651,7 +669,11 @@ class SelectionProbe:
         # whole cr_ent reservoir; just the current best under "cr"/eq) and
         # prune the evicted ones, then point best_stash (mutated IN PLACE —
         # callers hold a reference) at the current pick
-        ks = self._cr.keep_steps() if hasattr(self._cr, "keep_steps") \
+        # only the cr selector as primary ever consumes these stashed
+        # candidates (best_stash lookup + protect_steps); skip the per-tick
+        # device_get of reservoir weights under other primaries
+        ks = self._cr.keep_steps() if (self.primary is self._cr and
+                                       hasattr(self._cr, "keep_steps")) \
             else set()
         for variant, wkey in (("live", "weights_live"),
                               ("avg", "weights_avg")):

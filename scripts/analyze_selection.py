@@ -45,7 +45,13 @@ def replay(curve, src_fracs, variants):
 def replay_cr_ent(curve, src_fracs, topk: int = 16):
     """The shipped "cr_ent" reservoir policy (config.AdaptConfig
     .select_policy): keep the topk lowest-cr (live-variant) candidates,
-    pick by 2*rank(cr) + rank(ent) within the reservoir."""
+    pick by 2*rank(cr) + rank(ent) within the reservoir.
+
+    Scope: this replay covers the SHIPPED single-variant configuration
+    (dam_ema=0, live weights only).  The online ClassRatioSelector mixes
+    live and avg variants into one ranked pool when dam_ema>0; that dual-
+    variant mode is not validated here (the logged curves carry no
+    per-EMA-variant entropies)."""
     recs = [r for r in curve if r["step"] >= WARMUP]
     cr = np.array([float(np.abs(np.asarray(r["fracs"], np.float64)
                                 - src_fracs).sum()) for r in recs])

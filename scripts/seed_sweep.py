@@ -168,17 +168,37 @@ def main():
     def dice_of(state):
         return probe_of(state)[0]  # [C]; classes 1..4 are the structures
 
+    def fwd_tta(st, xb):
+        p = a_fwd(st, xb)
+        pf = a_fwd(st, xb[:, :, ::-1, :])
+        return 0.5 * (p + pf[:, :, ::-1, :])
+
     @jax.jit
     def probe_tta(state):
-        """Oracle Dice with flip-TTA (run.eval_tta="flip"): average the
-        softmax over the horizontal flip — measured on end-of-run states so
-        each sweep also prices the eval-time TTA lever."""
-        def fwd_tta(st, xb):
-            p = a_fwd(st, xb)
-            pf = a_fwd(st, xb[:, :, ::-1, :])
-            return 0.5 * (p + pf[:, :, ::-1, :])
-        inter, psum, _ = device_dice(state, vol_stacks, true_sums,
-                                     true_labels, fwd_tta, nc)
+        """(Dice[C], fracs[C], mean entropy) with flip-TTA
+        (run.eval_tta="flip"): average the softmax over the horizontal
+        flip — prices the eval-time TTA lever AND a TTA-robustified
+        selection signal (VERDICT r4 item 4 candidate)."""
+        inter, psum, ment = device_dice(state, vol_stacks, true_sums,
+                                        true_labels, fwd_tta, nc)
+        d = 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
+        return d, psum / jnp.sum(psum), ment
+
+    @jax.jit
+    def vol_prob_sums(state):
+        """Per-slice softmax stack over the eval volume — accumulated on
+        host across reservoir candidates for prediction ensembling."""
+        def body(_, xb):
+            return None, a_fwd(state, xb).astype(jnp.float32)
+        _, probs = jax.lax.scan(body, None, vol_stacks)
+        return probs  # [k, b, H, W, C]
+
+    @jax.jit
+    def dice_of_probs(probs):
+        preds = jnp.argmax(probs, -1).astype(jnp.int32)
+        pred_oh = jax.nn.one_hot(preds.reshape(-1), nc, dtype=jnp.float32)
+        inter = jnp.sum(pred_oh * true_oh, axis=0)
+        psum = jnp.sum(pred_oh, axis=0)
         return 2.0 * inter / jnp.maximum(psum + true_sums, 1e-6)
 
     # unsupervised reference: class-voxel fractions of the SOURCE labels
@@ -253,6 +273,9 @@ def main():
                "final": agg("final"), "selected": agg("selected"),
                "selected_cr": agg("selected_cr"),
                "selected_dual": agg("selected_dual"),
+               **({"selected_cr_ent": agg("selected_cr_ent")}
+                  if rows and all("selected_cr_ent" in r for r in rows)
+                  else {}),
                **({"selected_ship": agg("selected_ship"),
                    "state_ema_final": agg("state_ema_final")}
                   if rows and "selected_ship" in rows[0] else {}),
@@ -301,6 +324,25 @@ def main():
         cr_ship = adapt_mod.ClassRatioSelector(
             src_fracs, warmup_step=adapt_mod.select_warmup(cfg))
         ship_snapshot = None
+        # the SHIPPED selection policy, LIVE in-loop (VERDICT r4 item 3):
+        # the real cr_ent reservoir (class-ratio top-k + entropy rank
+        # tie-break) updated with the same (fracs, ent) the production
+        # make_select_bundle probe computes; its pick can move to an EARLIER
+        # reservoir step on any tick, so the Dice is resolved from the curve
+        # at read-out rather than snapshotted
+        cr_ent_sel = adapt_mod.ClassRatioSelector(
+            src_fracs, warmup_step=adapt_mod.select_warmup(cfg),
+            policy="cr_ent", topk=cfg.adapt.select_topk)
+        # host-side weight stash of the live reservoir (mirrors
+        # SelectionProbe's production stash) — enables pricing the
+        # reservoir-ensemble tracking-gap candidates (VERDICT r4 item 4):
+        # weight soup / prediction ensemble over the top-ranked picks
+        res_stash: dict = {}
+        # TTA-robustified selection signal: same cr_ent policy ranked on
+        # flip-averaged fracs/entropy
+        cr_ent_tta_sel = adapt_mod.ClassRatioSelector(
+            src_fracs, warmup_step=adapt_mod.select_warmup(cfg),
+            policy="cr_ent", topk=cfg.adapt.select_topk)
         # raw EMA trees start at ZERO (bias-corrected at eval); w tracks the
         # accumulated weight.  No aliasing with the donated train state.
         zeros = jax.tree.map(jnp.zeros_like, (state.dam_params, state.tgt_bn))
@@ -346,6 +388,19 @@ def main():
                 rec["dice_state_ema"] = round(float(jnp.mean(d_se[1:])), 4)
                 rec["fracs_state_ema"] = [round(float(x), 5) for x in fr_se]
                 rec["ent_state_ema"] = round(float(ent_se), 5)
+            cr_ent_sel.update(step_i, rec["fracs"], ent=rec["ent"])
+            d_tta, fr_tta, ent_tta = probe_tta(state)
+            rec["dice_tta"] = round(float(jnp.mean(d_tta[1:])), 4)
+            cr_ent_tta_sel.update(
+                step_i, [float(x) for x in fr_tta], ent=float(ent_tta))
+            # stash/evict host weight copies for the live reservoir
+            ks = cr_ent_sel.keep_steps()
+            if (step_i, "live") in ks:
+                res_stash[(step_i, "live")] = jax.device_get(
+                    (state.dam_params, state.tgt_bn))
+            for kk in list(res_stash):
+                if kk not in ks:
+                    del res_stash[kk]
             cr_dual.update(step_i, rec["fracs"], variant="live")
             for name in VARIANTS:
                 cr_dual.update(step_i, rec[f"fracs_{name}"], variant=name)
@@ -373,7 +428,7 @@ def main():
                                  v)
         # TTA delta on the end-of-run states (live + each EMA variant):
         # prices `evaluate --tta flip` without re-running selection
-        tta = {"live": round(float(jnp.mean(probe_tta(state)[1:])), 4)}
+        tta = {"live": round(float(jnp.mean(probe_tta(state)[0][1:])), 4)}
         for name in VARIANTS:
             w = emas[name][1]
             if w > 0:
@@ -381,9 +436,61 @@ def main():
                     dam_params=jax.tree.map(lambda a: a / w,
                                             emas[name][0][0]),
                     tgt_bn=jax.tree.map(lambda a: a / w, emas[name][0][1]))
-                tta[name] = round(float(jnp.mean(probe_tta(es)[1:])), 4)
+                tta[name] = round(float(jnp.mean(probe_tta(es)[0][1:])), 4)
         final = curve[-1]["dice"]
-        row = {"seed": seed, "final": final, "tta": tta,
+        # resolve the cr_ent pick's Dice from the curve (live variant only
+        # at the shipped dam_ema=0)
+        by_step = {c["step"]: c for c in curve}
+        cr_ent_snapshot = (
+            (cr_ent_sel.best_step, by_step[cr_ent_sel.best_step]["dice"])
+            if cr_ent_sel.best_step is not None else None)
+        # ---- tracking-gap candidates over the stashed reservoir ----
+        ranked = cr_ent_sel.ranked()
+        gap = {}
+
+        def stash_state(tree):
+            dam, bn = tree
+            return state.replace(dam_params=jax.tree.map(jnp.asarray, dam),
+                                 tgt_bn=jax.tree.map(jnp.asarray, bn))
+
+        if ranked:
+            def soup_state(m):
+                trees = [res_stash[(c["step"], c["variant"])]
+                         for c in ranked[:m]]
+                avg = jax.tree.map(
+                    lambda *xs: np.mean(np.stack(xs), 0).astype(xs[0].dtype),
+                    *trees)
+                return stash_state(avg)
+
+            for name, m in (("soup4", min(4, len(ranked))),
+                            ("soup_all", len(ranked))):
+                gap[name] = round(float(jnp.mean(
+                    dice_of(soup_state(m))[1:])), 4)
+            # prediction ensemble (softmax average) over the top-4 picks
+            probs = None
+            for c in ranked[:4]:
+                p = vol_prob_sums(stash_state(
+                    res_stash[(c["step"], c["variant"])]))
+                probs = p if probs is None else probs + p
+            gap["ens4"] = round(float(jnp.mean(dice_of_probs(probs)[1:])), 4)
+            # flip-TTA evaluated AT the shipped pick (prices run.eval_tta
+            # on the checkpoint users actually serve)
+            sel_tree = res_stash.get((cr_ent_sel.best_step,
+                                      cr_ent_sel.best_variant))
+            if sel_tree is not None:
+                gap["tta_sel"] = round(float(jnp.mean(
+                    probe_tta(stash_state(sel_tree))[0][1:])), 4)
+        # TTA-robustified selection signal: pick by TTA fracs/ent, report
+        # both the plain and TTA-served Dice at that pick
+        if cr_ent_tta_sel.best_step is not None:
+            c = by_step[cr_ent_tta_sel.best_step]
+            gap["sel_tta_signal"] = c["dice"]
+            gap["sel_tta_signal_ttad"] = c["dice_tta"]
+        row = {"seed": seed, "final": final, "tta": tta, "gap": gap,
+               "selected_cr_ent": cr_ent_snapshot[1] if cr_ent_snapshot
+               else final,
+               "selected_cr_ent_step": cr_ent_snapshot[0] if cr_ent_snapshot
+               else cfg.adapt.steps,
                "selected": sel_snapshot[1] if sel_snapshot else final,
                "selected_step": sel_snapshot[0] if sel_snapshot else
                cfg.adapt.steps,
@@ -417,6 +524,8 @@ def main():
               f"selected={row['selected']:.3f}@{row['selected_step']} "
               f"selected_cr={row['selected_cr']:.3f}"
               f"@{row['selected_cr_step']} "
+              f"cr_ent={row['selected_cr_ent']:.3f}"
+              f"@{row['selected_cr_ent_step']} "
               f"dual={row['selected_dual']:.3f}"
               f"@{row['selected_dual_step']}"
               f"/{row['selected_dual_variant']} "
@@ -430,7 +539,8 @@ def main():
 
     print(json.dumps({k: out[k] for k in
                       ("no_adapt", "final", "selected", "selected_cr",
-                       "selected_dual", "oracle")}))
+                       "selected_cr_ent", "selected_dual", "oracle")
+                      if k in out}))
 
 
 if __name__ == "__main__":
