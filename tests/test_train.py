@@ -856,3 +856,63 @@ def test_cr_ent_pick_moves_to_older_step(tmp_path):
     assert cr.best_step == 30
     np.testing.assert_array_equal(
         np.asarray(probe.best_stash["dam_params"]), np.full((2,), 3.0))
+
+
+def test_cr_ent_ranked_order():
+    """ranked() returns the reservoir sorted by 2*rank(cr)+rank(ent),
+    best first, and its head IS the repicked best."""
+    ref = np.array([0.5, 0.5])
+    cr = adapt.ClassRatioSelector(ref, warmup_step=0, policy="cr_ent",
+                                  topk=4)
+    ticks = [(10, [0.58, 0.42], 0.10), (20, [0.56, 0.44], 0.50),
+             (30, [0.55, 0.45], 0.80), (40, [0.57, 0.43], 0.20)]
+    for step, fracs, ent in ticks:
+        cr.update(step, np.asarray(fracs), ent=ent)
+    # crs: 30:0.10 20:0.12 40:0.14 10:0.16 (ranks 0/1/2/3)
+    # ents: 10:0.10 40:0.20 20:0.50 30:0.80 (ranks 0/1/2/3)
+    # scores: 30=2*0+3=3, 20=2*1+2=4, 40=2*2+1=5, 10=2*3+0=6
+    order = cr.ranked()
+    assert [c["step"] for c in order] == [30, 20, 40, 10]
+    assert order[0]["step"] == cr.best_step
+    # scores must be non-decreasing under the rank combo
+    crs = np.asarray([c["cr"] for c in cr.reservoir])
+    ents = np.asarray([c["ent"] for c in cr.reservoir])
+    score = {c["step"]: s for c, s in zip(
+        cr.reservoir, 2.0 * crs.argsort().argsort()
+        + ents.argsort().argsort())}
+    assert all(score[a["step"]] <= score[b["step"]]
+               for a, b in zip(order, order[1:]))
+
+
+def test_cr_ent_ent_none_warns():
+    """policy='cr_ent' with ent=None falls back to plain cr recording but
+    WARNS (the production bundle always supplies ent; silent mixed
+    sequences corrupt the reservoir/stash contract — ADVICE r4)."""
+    cr = adapt.ClassRatioSelector(np.array([0.5, 0.5]), warmup_step=0,
+                                  policy="cr_ent")
+    with pytest.warns(UserWarning, match="ent=None"):
+        cr.update(10, np.asarray([0.6, 0.4]))
+    # the plain-cr fallback still records a best
+    assert cr.best_step == 10 and cr.reservoir == []
+
+
+def test_shared_fwd_kg0_skips_g_update(adapt_setup):
+    """share_tgt_fwd with k_g=0 (train_g=True) must perform ZERO DAM
+    updates — the shared-vjp G step is guarded on k_g > 0 (ADVICE r4)."""
+    import dataclasses
+
+    cfg, state0, batch = adapt_setup
+    cfg0 = dataclasses.replace(
+        cfg, adapt=dataclasses.replace(cfg.adapt, k_g=0,
+                                       share_tgt_fwd=True))
+    step = jax.jit(adapt.make_adapt_step(cfg0))
+    s1, metrics = step(state0, batch, jax.random.key(3))
+    for a, b in zip(jax.tree.leaves(state0.dam_params),
+                    jax.tree.leaves(s1.dam_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the critic still trains
+    changed = any(
+        float(jnp.abs(a - b).sum()) > 0
+        for a, b in zip(jax.tree.leaves(state0.critic_params),
+                        jax.tree.leaves(s1.critic_params)))
+    assert changed
