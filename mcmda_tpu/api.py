@@ -174,7 +174,8 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
     ref_fracs = adapt_mod.label_fractions(src_labels, cfg.data.num_classes)
     selector = adapt_mod.ClassRatioSelector(
         ref_fracs, warmup_step=adapt_mod.select_warmup(cfg),
-        policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk)
+        policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk,
+        smooth_window=adapt_mod.smooth_window(cfg))
     select_probe = adapt_mod.SelectionProbe(
         adapt_mod.make_select_bundle(cfg, probe_images,
                                      dual=cfg.adapt.dam_ema > 0),
@@ -189,7 +190,7 @@ def adapt(cfg: ExperimentConfig, source_state: source_mod.SourceState,
                         probe_every=sel_every if out_dir else 0,
                         probe=select_probe if out_dir else None,
                         protect_steps=select_probe.protect_steps)
-    select_probe.flush()  # retire the final deferred probe tick
+    select_probe.finalize()  # final deferred tick + smoothing tail
     if out_dir and best_stash and selector.best_step is not None:
         base = os.path.join(out_dir, f"step_{selector.best_step:08d}")
         if not (os.path.isdir(base) or os.path.exists(base + ".npz")):

@@ -289,7 +289,8 @@ def cmd_adapt(args):
         warmup_step=cfg.adapt.pretrain_steps + cfg.adapt.steps // 5)
     cr_selector = adapt.ClassRatioSelector(
         ref_fracs, warmup_step=adapt.select_warmup(cfg),
-        policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk)
+        policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk,
+        smooth_window=adapt.smooth_window(cfg))
     selector = cr_selector if cfg.adapt.select_signal == "class_ratio" \
         else eq_selector
     # The probe cadence (cfg.adapt.select_every) is independent of
@@ -353,7 +354,7 @@ def cmd_adapt(args):
                         probe_every=sel_every if args.out else 0,
                         probe=select_probe if args.out else None,
                         protect_steps=select_probe.protect_steps)
-    select_probe.flush()  # retire the final deferred probe tick
+    select_probe.finalize()  # final deferred tick + smoothing tail
     if selector.best_step is not None:
         print(f"selected checkpoint ({selector.signal}): "
               f"step {selector.best_step} "

@@ -247,6 +247,16 @@ class AdaptConfig:
     # full-curve rank policy on every sweep; host stash is topk small
     # DAM+BN copies)
     select_topk: int = 16
+    # Probe-noise denoising for the selection signal: centered boxcar over
+    # the predicted-fracs/entropy streams spanning ~this many TRAINING
+    # STEPS (window in ticks = round(span / select_every), forced odd —
+    # rounds DOWN to no-op when the cadence is coarser than the span).
+    # Mechanism + measurement: results/policy_prereg_r5.json — one noisy
+    # probe tick can win argmin catastrophically (ct2mri seed 2: picked
+    # 0.530 vs oracle 0.722 two ticks apart); a +-1-tick average halves
+    # probe-noise variance while quality drifts slowly at the ~300-step
+    # scale.  0 = off (the r4 behavior).
+    select_smooth_span: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -427,7 +427,8 @@ class ClassRatioSelector(_BestScoreSelector):
     signal = "class_ratio"
 
     def __init__(self, ref_fracs, warmup_step: int = 0,
-                 policy: str = "cr", topk: int = 16):
+                 policy: str = "cr", topk: int = 16,
+                 smooth_window: int = 1):
         super().__init__(warmup_step)
         import numpy as np
         self.ref_fracs = np.asarray(ref_fracs, np.float64)
@@ -438,14 +439,29 @@ class ClassRatioSelector(_BestScoreSelector):
         # every update by rank-combining 2*rank(cr) + rank(ent) WITHIN the
         # reservoir (config.AdaptConfig.select_policy).
         self.reservoir: list = []
+        # Probe-noise denoising (config.AdaptConfig.select_smooth_span,
+        # results/policy_prereg_r5.json): with smooth_window=w>1 (odd), each
+        # tick's signal is replaced by the centered w-tick boxcar mean of
+        # the raw (fracs, ent) streams before scoring, so a tick's score
+        # RESOLVES w//2 ticks late (edges use the available shorter window,
+        # the tail at finalize()).  Per-variant raw history; ~5 floats/tick.
+        self.smooth_window = max(1, int(smooth_window))
+        self._hist: dict = {}   # variant -> [(step, fracs, ent), ...]
+        self._next: dict = {}   # variant -> first unresolved index
 
     def keep_steps(self):
-        """Candidate (step, variant) pairs whose weights must stay stashed
-        (the whole reservoir under cr_ent; just the best under cr)."""
+        """Candidate (step, variant) pairs whose weights must stay stashed:
+        the whole reservoir under cr_ent / just the best under cr, PLUS any
+        tick still awaiting smoothing resolution (it may become the pick)."""
         if self.policy == "cr_ent":
-            return {(c["step"], c["variant"]) for c in self.reservoir}
-        return ({(self.best_step, self.best_variant)}
-                if self.best_step is not None else set())
+            keep = {(c["step"], c["variant"]) for c in self.reservoir}
+        else:
+            keep = ({(self.best_step, self.best_variant)}
+                    if self.best_step is not None else set())
+        for variant, hist in self._hist.items():
+            for step, _fr, _ent in hist[self._next.get(variant, 0):]:
+                keep.add((step, variant))
+        return keep
 
     def ranked(self) -> list:
         """Reservoir candidates sorted by the cr_ent combined rank score
@@ -468,11 +484,9 @@ class ClassRatioSelector(_BestScoreSelector):
         self.best_score = best["cr"]
         self.best_variant = best["variant"]
 
-    def update(self, step: int, pred_fracs, variant: str = "live",
-               ent: float | None = None) -> float:
-        import numpy as np
-        score = float(np.abs(np.asarray(pred_fracs, np.float64)
-                             - self.ref_fracs).sum())
+    def _ingest(self, step: int, score: float, variant: str,
+                ent: float | None) -> float:
+        """Score one (possibly smoothed) tick into the pick machinery."""
         if self.policy != "cr_ent" or ent is None:
             if self.policy == "cr_ent":
                 # the production bundle always supplies ent; a mixed
@@ -493,6 +507,49 @@ class ClassRatioSelector(_BestScoreSelector):
         self._repick()
         return score
 
+    def _resolve(self, variant: str, i: int, n_avail: int) -> None:
+        """Feed history index ``i`` with its centered window mean (clipped
+        to the ``n_avail`` ticks seen so far)."""
+        import numpy as np
+        h = self.smooth_window // 2
+        win = self._hist[variant][max(0, i - h):min(n_avail, i + h + 1)]
+        fr = np.mean([w[1] for w in win], axis=0)
+        ents = [w[2] for w in win]
+        ent = None if any(e is None for e in ents) else float(np.mean(ents))
+        step = self._hist[variant][i][0]
+        self._ingest(step, float(np.abs(fr - self.ref_fracs).sum()),
+                     variant, ent)
+
+    def update(self, step: int, pred_fracs, variant: str = "live",
+               ent: float | None = None) -> float:
+        import numpy as np
+        fr = np.asarray(pred_fracs, np.float64)
+        score = float(np.abs(fr - self.ref_fracs).sum())
+        if self.smooth_window <= 1:
+            return self._ingest(step, score, variant, ent)
+        if step < self.warmup_step:
+            # pre-warmup ticks are excluded from smoothing windows too, so
+            # the online pick matches the offline warmup-filtered replay
+            return score
+        hist = self._hist.setdefault(variant, [])
+        hist.append((step, fr, None if ent is None else float(ent)))
+        h = self.smooth_window // 2
+        nxt = self._next.get(variant, 0)
+        while nxt + h < len(hist):
+            self._resolve(variant, nxt, len(hist))
+            nxt += 1
+        self._next[variant] = nxt
+        return score
+
+    def finalize(self) -> None:
+        """Resolve the trailing ticks (shorter windows at the stream end) —
+        call once after the last update; mirrors the offline replay's edge
+        handling exactly."""
+        for variant, hist in self._hist.items():
+            for i in range(self._next.get(variant, 0), len(hist)):
+                self._resolve(variant, i, len(hist))
+            self._next[variant] = len(hist)
+
     def save(self, out_dir: str) -> None:
         import json
         import os
@@ -502,6 +559,8 @@ class ClassRatioSelector(_BestScoreSelector):
                    "best_step": int(self.best_step),
                    "best_score": self.best_score,
                    "weights": self.best_variant}
+        if self.smooth_window > 1:
+            payload["smooth_window"] = self.smooth_window
         if self.policy == "cr_ent":
             payload["reservoir"] = [
                 {"step": int(c["step"]), "variant": c["variant"],
@@ -515,6 +574,20 @@ def select_warmup(cfg: ExperimentConfig) -> int:
     clamped to a fifth of the run (so short/smoke runs still select)."""
     a = cfg.adapt
     return a.pretrain_steps + min(a.select_warmup, a.steps // 5)
+
+
+def smooth_window(cfg: ExperimentConfig) -> int:
+    """Selection-signal smoothing window in TICKS from the configured span
+    in STEPS (config.AdaptConfig.select_smooth_span): round(span / cadence),
+    forced odd by rounding DOWN (under-smooth on ties), min 1 (= off).  At
+    the shipped ct2mri cadence (span 300 / select_every 100) this is 3; at
+    mri2ct's coarser 250-step cadence the same span rounds to 1 (no-op)."""
+    a = cfg.adapt
+    ev = a.select_every or cfg.run.ckpt_every or 1
+    w = int(round(a.select_smooth_span / max(1, ev)))
+    if w % 2 == 0:
+        w -= 1
+    return max(1, w)
 
 
 def label_fractions(labels, num_classes: int):
@@ -694,6 +767,29 @@ class SelectionProbe:
                           else "weights_live"]
             self.best_stash["dam_params"] = jax.device_get(dam)
             self.best_stash["tgt_bn"] = jax.device_get(bn)
+        if self._save_dir and self._save_ok:
+            self.primary.save(self._save_dir)
+
+    def finalize(self) -> None:
+        """Retire the final deferred tick AND resolve the selector's
+        smoothing tail (ClassRatioSelector.finalize) — the last w//2 ticks
+        only score once the stream ends, and the pick may move onto one of
+        them.  Call once after the training loop."""
+        self.flush()
+        if not hasattr(self._cr, "finalize"):
+            return
+        self._cr.finalize()
+        if self.primary is self._cr and hasattr(self._cr, "keep_steps"):
+            ks = self._cr.keep_steps()
+            for k in list(self._stash):
+                if k not in ks:
+                    del self._stash[k]
+        bk = (self.primary.best_step,
+              getattr(self.primary, "best_variant", "live"))
+        if bk in self._stash:
+            dam, bn = self._stash[bk]
+            self.best_stash["dam_params"] = dam
+            self.best_stash["tgt_bn"] = bn
         if self._save_dir and self._save_ok:
             self.primary.save(self._save_dir)
 

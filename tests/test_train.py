@@ -916,3 +916,114 @@ def test_shared_fwd_kg0_skips_g_update(adapt_setup):
         for a, b in zip(jax.tree.leaves(state0.critic_params),
                         jax.tree.leaves(s1.critic_params)))
     assert changed
+
+
+def _offline_smoothed_pick(steps, fracs, ents, ref, w, policy="cr",
+                           topk=16):
+    """Reference replay of the smoothed policy (scripts/policy_search.py
+    semantics): centered w-tick boxcar over the raw streams, shorter
+    windows at both edges, then the plain/cr_ent pick."""
+    fr = np.asarray(fracs, np.float64)
+    en = np.asarray(ents, np.float64)
+    h = w // 2
+    n = len(steps)
+    fr_s = np.stack([fr[max(0, i - h):min(n, i + h + 1)].mean(0)
+                     for i in range(n)])
+    en_s = np.asarray([en[max(0, i - h):min(n, i + h + 1)].mean()
+                       for i in range(n)])
+    cr = np.abs(fr_s - ref).sum(1)
+    if policy == "cr":
+        return steps[int(np.argmin(cr))]
+    idx = np.argsort(cr)[:topk]
+    s = 2.0 * cr[idx].argsort().argsort() + en_s[idx].argsort().argsort()
+    return steps[idx[int(np.argmin(s))]]
+
+
+@pytest.mark.parametrize("policy", ["cr", "cr_ent"])
+def test_smoothed_selector_matches_offline_replay(policy):
+    """Streaming ClassRatioSelector(smooth_window=3) + finalize() picks the
+    SAME step as the offline boxcar replay the policy was validated with
+    (results/policy_prereg_r5.json), including the truncated edge windows."""
+    rng = np.random.default_rng(7)
+    ref = np.array([0.6, 0.3, 0.1])
+    steps = [100 * (i + 1) for i in range(25)]
+    fracs = rng.dirichlet((2.0, 1.0, 0.5), size=len(steps))
+    ents = rng.uniform(0.1, 1.0, size=len(steps))
+    sel = adapt.ClassRatioSelector(ref, warmup_step=0, policy=policy,
+                                   topk=8, smooth_window=3)
+    for s, fr, en in zip(steps, fracs, ents):
+        sel.update(s, fr, ent=float(en))
+    sel.finalize()
+    want = _offline_smoothed_pick(steps, fracs, ents, ref, 3,
+                                  policy=policy, topk=8)
+    assert sel.best_step == want
+
+
+def test_smoothed_selector_pending_keep_and_warmup():
+    """Unresolved ticks stay in keep_steps() (their weights must remain
+    stashed until the window closes) and pre-warmup ticks are excluded from
+    smoothing windows, matching the warmup-filtered offline replay."""
+    ref = np.array([0.5, 0.5])
+    sel = adapt.ClassRatioSelector(ref, warmup_step=15, smooth_window=3)
+    sel.update(10, [0.9, 0.1])          # pre-warmup: not buffered
+    assert sel.keep_steps() == set()
+    sel.update(20, [0.8, 0.2])          # buffered, unresolved
+    assert (20, "live") in sel.keep_steps()
+    sel.update(30, [0.55, 0.45])        # resolves tick 20 = mean(20,30)
+    # tick 20's smoothed score: L1(mean([0.8,0.2],[0.55,0.45]), ref) = 0.35
+    assert sel.best_step == 20
+    assert abs(sel.best_score - 0.35) < 1e-12
+    # tick 30 still pending
+    assert (30, "live") in sel.keep_steps()
+    sel.finalize()
+    # tick 30 resolves as mean(20, 30, 30-edge) -> window [20, 30]
+    assert sel._next["live"] == 2
+
+
+def test_smoothed_probe_tail_pick(tmp_path):
+    """End-to-end SelectionProbe with smoothing: the best tick resolves
+    only at finalize() (tail window), and best_stash holds ITS weights."""
+    import json
+    ref = np.array([0.5, 0.5])
+    cr = adapt.ClassRatioSelector(ref, warmup_step=0, smooth_window=3)
+
+    def bundle(st):
+        return {"fracs_live": jnp.asarray(st["fracs"]),
+                "weights_live": (jnp.full((2,), st["marker"]),
+                                 jnp.zeros(1))}
+
+    probe = adapt.SelectionProbe(bundle, primary=cr, cr_selector=cr,
+                                 save_dir=str(tmp_path))
+    ticks = [   # the LAST tick has the best smoothed score
+        (10, [0.95, 0.05], 1.0),
+        (20, [0.90, 0.10], 2.0),
+        (30, [0.60, 0.40], 3.0),
+        (40, [0.52, 0.48], 4.0),   # smoothed window [30, 40]: cr 0.12
+    ]
+    for step, fracs, marker in ticks:
+        probe(step, {"fracs": np.asarray(fracs, np.float32),
+                     "marker": marker})
+    probe.finalize()
+    assert cr.best_step == 40
+    np.testing.assert_array_equal(
+        np.asarray(probe.best_stash["dam_params"]), np.full((2,), 4.0))
+    sel = json.load(open(tmp_path / "selection.json"))
+    assert sel["best_step"] == 40 and sel["smooth_window"] == 3
+
+
+def test_smooth_window_from_config():
+    """Span (steps) -> ticks conversion: round, force odd DOWN, min 1."""
+    import dataclasses
+    from mcmda_tpu import config as cfg_mod
+
+    def w(span, every):
+        cfg = cfg_mod.ExperimentConfig()
+        cfg = dataclasses.replace(cfg, adapt=dataclasses.replace(
+            cfg.adapt, select_smooth_span=span, select_every=every))
+        return adapt.smooth_window(cfg)
+
+    assert w(0, 100) == 1        # off (default)
+    assert w(300, 100) == 3      # the ct2mri shipped geometry
+    assert w(300, 250) == 1      # mri2ct cadence: rounds to no-op
+    assert w(500, 100) == 5
+    assert w(200, 100) == 1      # even -> rounded down to odd
