@@ -276,6 +276,9 @@ def main():
                **({"selected_cr_ent": agg("selected_cr_ent")}
                   if rows and all("selected_cr_ent" in r for r in rows)
                   else {}),
+               **({"selected_cfg": agg("selected_cfg")}
+                  if rows and all("selected_cfg" in r for r in rows)
+                  else {}),
                **({"selected_ship": agg("selected_ship"),
                    "state_ema_final": agg("state_ema_final")}
                   if rows and "selected_ship" in rows[0] else {}),
@@ -333,6 +336,14 @@ def main():
         cr_ent_sel = adapt_mod.ClassRatioSelector(
             src_fracs, warmup_step=adapt_mod.select_warmup(cfg),
             policy="cr_ent", topk=cfg.adapt.select_topk)
+        # the CONFIG's exact shipped policy (policy + smoothing window as
+        # pinned in the benchmark config), streaming LIVE — validates the
+        # production ClassRatioSelector implementation in-loop, including
+        # the smoothing resolution delay (results/policy_prereg_r5.json)
+        cr_cfg_sel = adapt_mod.ClassRatioSelector(
+            src_fracs, warmup_step=adapt_mod.select_warmup(cfg),
+            policy=cfg.adapt.select_policy, topk=cfg.adapt.select_topk,
+            smooth_window=adapt_mod.smooth_window(cfg))
         # host-side weight stash of the live reservoir (mirrors
         # SelectionProbe's production stash) — enables pricing the
         # reservoir-ensemble tracking-gap candidates (VERDICT r4 item 4):
@@ -389,6 +400,7 @@ def main():
                 rec["fracs_state_ema"] = [round(float(x), 5) for x in fr_se]
                 rec["ent_state_ema"] = round(float(ent_se), 5)
             cr_ent_sel.update(step_i, rec["fracs"], ent=rec["ent"])
+            cr_cfg_sel.update(step_i, rec["fracs"], ent=rec["ent"])
             d_tta, fr_tta, ent_tta = probe_tta(state)
             rec["dice_tta"] = round(float(jnp.mean(d_tta[1:])), 4)
             cr_ent_tta_sel.update(
@@ -441,6 +453,10 @@ def main():
         # resolve the cr_ent pick's Dice from the curve (live variant only
         # at the shipped dam_ema=0)
         by_step = {c["step"]: c for c in curve}
+        cr_cfg_sel.finalize()   # resolve the smoothing tail (no-op at w=1)
+        cfg_snapshot = (
+            (cr_cfg_sel.best_step, by_step[cr_cfg_sel.best_step]["dice"])
+            if cr_cfg_sel.best_step is not None else None)
         cr_ent_snapshot = (
             (cr_ent_sel.best_step, by_step[cr_ent_sel.best_step]["dice"])
             if cr_ent_sel.best_step is not None else None)
@@ -491,6 +507,9 @@ def main():
                else final,
                "selected_cr_ent_step": cr_ent_snapshot[0] if cr_ent_snapshot
                else cfg.adapt.steps,
+               "selected_cfg": cfg_snapshot[1] if cfg_snapshot else final,
+               "selected_cfg_step": cfg_snapshot[0] if cfg_snapshot
+               else cfg.adapt.steps,
                "selected": sel_snapshot[1] if sel_snapshot else final,
                "selected_step": sel_snapshot[0] if sel_snapshot else
                cfg.adapt.steps,
@@ -526,6 +545,7 @@ def main():
               f"@{row['selected_cr_step']} "
               f"cr_ent={row['selected_cr_ent']:.3f}"
               f"@{row['selected_cr_ent_step']} "
+              f"cfg={row['selected_cfg']:.3f}@{row['selected_cfg_step']} "
               f"dual={row['selected_dual']:.3f}"
               f"@{row['selected_dual_step']}"
               f"/{row['selected_dual_variant']} "
