@@ -67,7 +67,11 @@ def main():
     p.add_argument("--depth", type=int, default=64)
     p.add_argument("--source-steps", type=int, default=None)
     p.add_argument("--adapt-steps", type=int, default=None)
-    p.add_argument("--eval-every", type=int, default=250)
+    # probe/selection cadence: DEFAULTS TO THE CONFIG's select_every so a
+    # sweep of a pinned recipe is the recipe (the per-block RNG fold makes
+    # the cadence part of the trajectory, not just the probe schedule — a
+    # mismatched override silently sweeps a DIFFERENT run)
+    p.add_argument("--eval-every", type=int, default=None)
     p.add_argument("--set", action="append", metavar="K.EY=VAL",
                    help="config override, same syntax as the CLI "
                         "(e.g. --set adapt.tgt_feats_bf16=true)")
@@ -218,7 +222,7 @@ def main():
     tgt_ds = vio.volumes_to_slices(tgt_train, context=cfg.data.context_slices)
     device_data = {"src": pipeline.to_device_arrays(src_ds),
                    "tgt": pipeline.to_device_arrays(tgt_ds)}
-    ev = args.eval_every
+    ev = args.eval_every or cfg.adapt.select_every or 250
     n_blocks = cfg.adapt.steps // ev
     a_step = jax.jit(loop.scanned_step(adapt_mod.make_adapt_step(
         cfg, sample_from_device=True), ev), donate_argnums=(0,))
