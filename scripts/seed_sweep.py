@@ -353,6 +353,10 @@ def main():
         # reservoir-ensemble tracking-gap candidates (VERDICT r4 item 4):
         # weight soup / prediction ensemble over the top-ranked picks
         res_stash: dict = {}
+        # separate stash following the config policy's keep set (under
+        # smoothing this includes unresolved pending ticks) — prices
+        # run.eval_tta at the pick the SHIPPED config would serve
+        cfg_stash: dict = {}
         # TTA-robustified selection signal: same cr_ent policy ranked on
         # flip-averaged fracs/entropy
         cr_ent_tta_sel = adapt_mod.ClassRatioSelector(
@@ -417,6 +421,14 @@ def main():
             for kk in list(res_stash):
                 if kk not in ks:
                     del res_stash[kk]
+            ks_cfg = cr_cfg_sel.keep_steps()
+            if (step_i, "live") in ks_cfg:
+                cfg_stash[(step_i, "live")] = res_stash.get(
+                    (step_i, "live")) or jax.device_get(
+                        (state.dam_params, state.tgt_bn))
+            for kk in list(cfg_stash):
+                if kk not in ks_cfg:
+                    del cfg_stash[kk]
             cr_dual.update(step_i, rec["fracs"], variant="live")
             for name in VARIANTS:
                 cr_dual.update(step_i, rec[f"fracs_{name}"], variant=name)
@@ -500,6 +512,14 @@ def main():
             if sel_tree is not None:
                 gap["tta_sel"] = round(float(jnp.mean(
                     probe_tta(stash_state(sel_tree))[0][1:])), 4)
+        # flip-TTA served at the CONFIG policy's pick (the checkpoint the
+        # shipped recipe would actually serve)
+        if cr_cfg_sel.best_step is not None:
+            cfg_tree = cfg_stash.get((cr_cfg_sel.best_step,
+                                      cr_cfg_sel.best_variant))
+            if cfg_tree is not None:
+                gap["tta_cfg"] = round(float(jnp.mean(
+                    probe_tta(stash_state(cfg_tree))[0][1:])), 4)
         # TTA-robustified selection signal: pick by TTA fracs/ent, report
         # both the plain and TTA-served Dice at that pick
         if cr_ent_tta_sel.best_step is not None:
