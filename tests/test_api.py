@@ -193,3 +193,29 @@ def test_api_eval_bf16_serving_precision(tiny_config):
     p16 = api.predict(cfg16, src, mri_v, postprocess="none")[0]
     # argmax labels: bf16 rounding may flip a few boundary pixels only
     assert np.mean(p32 != p16) < 0.02
+
+
+def test_api_smoothed_selection_wiring(tiny_config, tmp_path):
+    """api.adapt with select_smooth_span>0 streams the smoothed selector
+    (adapt.smooth_window ticks), resolves the tail at probe.finalize(), and
+    persists the smoothing provenance in selection.json."""
+    import json
+    cfg = dataclasses.replace(
+        tiny_config,
+        adapt=dataclasses.replace(tiny_config.adapt, steps=20,
+                                  pretrain_steps=10, select_every=5,
+                                  select_smooth_span=15, select_warmup=0,
+                                  select_policy="cr"),
+        run=dataclasses.replace(tiny_config.run, ckpt_every=10, log_every=0))
+    mri_v, mri_l = synthetic.make_dataset(0, "mri", 2, 8, 32)
+    ct_v, _ = synthetic.make_dataset(0, "ct", 2, 8, 32)
+    src = api.train_source(cfg, mri_v, mri_l, out_dir=str(tmp_path / "src"))
+    ad = api.adapt(cfg, src, mri_v, mri_l, ct_v[:1],
+                   out_dir=str(tmp_path / "ad"))
+    assert int(ad.step) == 30
+    with open(tmp_path / "ad" / "selection.json") as f:
+        rec = json.load(f)
+    assert rec["signal"] == "class_ratio" and rec["policy"] == "cr"
+    assert rec["smooth_window"] == 3
+    # probes tick at multiples of 5 past pretrain(10): best is one of them
+    assert rec["best_step"] % 5 == 0 and rec["best_step"] > 10
