@@ -52,6 +52,18 @@ def test_shipped_configs_parse():
     # recipe pins the exact measured cadence + cap.
     assert cfg.adapt.select_every == 100
     assert cfg.adapt.d_acc_cap == 0.9
+    # r5 policy validation (results/policy_prereg_r5.json): the smoothed-cr
+    # candidate LOST to cr_ent on 10 fresh seeds (0.586 vs 0.627), so both
+    # shipped configs keep the cr_ent default; flip-TTA at the pick won on
+    # all 15 live ct2mri seeds (+0.019 mean, never negative) and ships
+    # there only (mri2ct measured neutral, +0.002).
+    assert cfg.adapt.select_policy == "cr_ent"
+    assert cfg.adapt.select_smooth_span == 0
+    assert cfg.run.eval_tta == "flip"
+    with open(os.path.join(here, "configs", "mri2ct.json")) as f:
+        m = ExperimentConfig.from_json(f.read())
+    assert m.adapt.select_policy == "cr_ent"
+    assert m.run.eval_tta == "none"
     # r4 serving precision: bf16 eval measured at production geometry
     # (results/synthetic_mri2ct_adapted_bf16.json, mean Dice delta 0.0003
     # vs f32) with a +13% serving-throughput win (results/serving_paths
