@@ -57,12 +57,21 @@ class SegmenterConfig:
     bn_eps: float = 1e-5
     # Compute dtype for conv/matmul inputs; params + BN stats stay f32.
     compute_dtype: Any = jnp.float32
-    # Execution layout of the THIN high-res stages (stem + rm1 entry):
-    # "s2d"  — space-to-depth: dense MXU convs over slot channels; exact
-    #          (fwd+bwd 0.8 ms vs 2.0 ms measured; ops/s2d.py). Falls back
-    #          automatically when shapes don't divide by 2.
+    # Execution layout of the THIN high-res stages:
+    # "s2d"  — space-to-depth stem + rm1 ENTRY: dense MXU convs over slot
+    #          channels; exact (fwd+bwd 0.8 ms vs 2.0 ms measured;
+    #          ops/s2d.py). Falls back automatically when shapes don't
+    #          divide by 2.
+    # "s2d2" — additionally keeps every thin stage whose slot width fits a
+    #          VREG lane group (4*features <= 128, i.e. rm1 at the default
+    #          widths) s2d-RESIDENT through its body, and feeds the next
+    #          stage's entry from the s2d view: the 128^2/32ch convs and
+    #          their 4-13 TF/s backward passes become [3,3,128,128] dense
+    #          contractions (r5; results/adapt_topops.json).  Exact.
+    #          MEASURED (r5, real chip, production adapt geometry):
+    #          11.70 ms/step vs 14.01 — x1.20, shipped default.
     # "nhwc" — stock XLA convs (the r2 behavior; also the test oracle).
-    thin_layout: str = "s2d"
+    thin_layout: str = "s2d2"
     # Training-mode execution of the WIDE dilated-tail blocks (rm4-rm6):
     # "pallas" — fused conv + BN-statistics kernel (kernels/train_conv.py):
     #            the batch-stats reduction rides the conv's VMEM epilogue,

@@ -89,7 +89,7 @@ def apply(
         stage_train = train and (bn_train_stages is None
                                  or spec.name in bn_train_stages)
         if spec.name == "stem":
-            if (cfg.thin_layout == "s2d" and h.shape[1] % 2 == 0
+            if (cfg.thin_layout in ("s2d", "s2d2") and h.shape[1] % 2 == 0
                     and h.shape[2] % 2 == 0):
                 # thin-stage fast path (ops/s2d.py): dense MXU convs over
                 # slot channels; exact vs the NHWC path (tested)
@@ -112,10 +112,27 @@ def apply(
             new_state[spec.name] = {"bn": bn_s}
         else:
             if h_s2d is not None and spec.stride == 2 and spec.dilation == 1:
-                h, st = blocks.stage_apply_s2d_entry(
+                # "s2d2": keep this stage s2d-RESIDENT when its slot width
+                # still fits one VREG lane group (4*features <= 128) and the
+                # half-res grid blocks 2x2 again — the next stage's entry
+                # then consumes the s2d view directly, so the thin 32-lane
+                # convs (and their 4-13 TF/s backwards) never materialize.
+                keep_s2d = (cfg.thin_layout == "s2d2"
+                            and 4 * spec.features <= 128
+                            and h_s2d.shape[1] % 2 == 0
+                            and h_s2d.shape[2] % 2 == 0)
+                out, st = blocks.stage_apply_s2d_entry(
                     p, state[spec.name], h_s2d, spec, train=stage_train,
                     momentum=cfg.bn_momentum, eps=cfg.bn_eps,
-                    axis_name=axis_name, compute_dtype=cfg.compute_dtype)
+                    axis_name=axis_name, compute_dtype=cfg.compute_dtype,
+                    out_s2d=keep_s2d)
+                if keep_s2d:
+                    h_s2d = out
+                    # NHWC view for taps; DCE'd when no tap consumer reads it
+                    h = s2d.depth_to_space(out, spec.features)
+                else:
+                    h = out
+                    h_s2d = None
             else:
                 h, st = blocks.stage_apply(p, state[spec.name], h, spec,
                                            train=stage_train,
@@ -125,7 +142,7 @@ def apply(
                                            compute_dtype=cfg.compute_dtype,
                                            fused_train=(cfg.train_fused
                                                         == "pallas"))
-            h_s2d = None
+                h_s2d = None
             new_state[spec.name] = st
         taps[spec.name] = h
         if in_dam and plug_depth is not None and spec.name == plug_depth:

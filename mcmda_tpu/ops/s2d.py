@@ -132,6 +132,16 @@ def stem_conv(x2, w, compute_dtype=jnp.float32):
                                 else None))
 
 
+# A stride-1 dilation-1 3x3 conv over ANY s2d tensor is the same dense
+# kernel embedding the stem uses ([3,3,C,K] -> [3,3,4C,4K], exact): the
+# mask only encodes grid geometry, not channel meaning.  Alias kept for
+# call-site clarity — the r5 "s2d2" layout runs the thin residual BODIES
+# ([N,128,128,32] -> s2d [N,64,64,128]) through it, which turns their
+# 4-13 TF/s backward convs (dx/dw at 32 lanes) into dense 128-slot MXU
+# contractions (results/adapt_topops.json).
+body_conv = stem_conv
+
+
 def entry_conv(s2, w, compute_dtype=jnp.float32):
     """rm1 entry conv: s2 [N,H',W',4K] (oy,ox,k as produced by stem_conv
     consumers after re-tagging; see note) -> [N,H',W',F] on the natural

@@ -89,6 +89,10 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--top", type=int, default=40)
     p.add_argument("--out", default="results/adapt_topops.json")
+    p.add_argument("--batch", type=int, default=0,
+                   help="override data.batch_size (0 = config default); "
+                        "used to diagnose the super-linear batch-curve "
+                        "slowdown (results/batching_bench.json)")
     args = p.parse_args()
 
     from mcmda_tpu.config import ExperimentConfig
@@ -100,7 +104,9 @@ def main():
     cfg = ExperimentConfig()
     cfg = dataclasses.replace(
         cfg,
-        data=dataclasses.replace(cfg.data, warp="pallas"),
+        data=dataclasses.replace(
+            cfg.data, warp="pallas",
+            **({"batch_size": args.batch} if args.batch else {})),
         adapt=dataclasses.replace(cfg.adapt, src_feats_bf16=True))
     b = cfg.data.batch_size
     src_params, src_bn = segmenter.init(jax.random.key(0), cfg.segmenter)

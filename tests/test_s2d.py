@@ -73,12 +73,14 @@ def test_bn_relu_matches_bn_apply(train):
                                    np.asarray(st_ref[k]), atol=1e-6)
 
 
+@pytest.mark.parametrize("layout", ["s2d", "s2d2"])
 @pytest.mark.parametrize("train", [True, False])
-def test_segmenter_s2d_matches_nhwc(tiny_config, train):
-    """Whole-net parity: thin_layout='s2d' == 'nhwc' for logits, every tap,
-    and BN state, with an active DAM split."""
-    cfg_s = tiny_config.segmenter
-    assert cfg_s.thin_layout == "s2d"  # the shipped default
+def test_segmenter_s2d_matches_nhwc(tiny_config, train, layout):
+    """Whole-net parity: thin_layout='s2d'/'s2d2' == 'nhwc' for logits,
+    every tap, and BN state, with an active DAM split.  's2d2' keeps rm1
+    s2d-resident through its body and feeds rm2's entry from the s2d view
+    (ops/blocks.py residual_block_apply_s2d)."""
+    cfg_s = dataclasses.replace(tiny_config.segmenter, thin_layout=layout)
     cfg_n = dataclasses.replace(cfg_s, thin_layout="nhwc")
     params, state = segmenter.init(jax.random.key(0), cfg_s)
     dam = segmenter.dam_init_from_source(params, cfg_s, "rm2")
@@ -100,10 +102,11 @@ def test_segmenter_s2d_matches_nhwc(tiny_config, train):
                                        atol=1e-5)
 
 
-def test_segmenter_s2d_gradients_match_nhwc(tiny_config):
+@pytest.mark.parametrize("layout", ["s2d", "s2d2"])
+def test_segmenter_s2d_gradients_match_nhwc(tiny_config, layout):
     """DAM gradients through the s2d path == through the NHWC path (the
     training path differentiates through the kernel-embedding einsums)."""
-    cfg_s = tiny_config.segmenter
+    cfg_s = dataclasses.replace(tiny_config.segmenter, thin_layout=layout)
     cfg_n = dataclasses.replace(cfg_s, thin_layout="nhwc")
     params, state = segmenter.init(jax.random.key(0), cfg_s)
     dam = segmenter.dam_init_from_source(params, cfg_s, "rm2")
@@ -126,10 +129,50 @@ def test_segmenter_s2d_gradients_match_nhwc(tiny_config):
             err_msg=jax.tree_util.keystr(kp))
 
 
-def test_s2d_falls_back_on_odd_size(tiny_config):
+@pytest.mark.parametrize("train", [True, False])
+def test_residual_block_s2d_matches_oracle(train):
+    """ops/blocks.residual_block_apply_s2d (fully s2d-resident stride-1
+    block, the rm1-body fast path of thin_layout='s2d2') == the stock
+    block on the depth-to-space view, params shared, incl. BN state."""
+    from mcmda_tpu.ops import blocks
+
+    k = 8
+    params, state = blocks.residual_block_init(jax.random.key(0), k, k)
+    x = _rand(9, (2, 16, 16, k))
+    ref, st_ref = blocks.residual_block_apply(params, state, x, train=train)
+    got2, st_got = blocks.residual_block_apply_s2d(
+        params, state, s2d.space_to_depth(x), k, train=train)
+    np.testing.assert_allclose(np.asarray(s2d.depth_to_space(got2, k)),
+                               np.asarray(ref), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(st_got), jax.tree.leaves(st_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_entry_block_out_s2d_matches_oracle(train):
+    """residual_block_apply_s2d_entry(out_s2d=True) == the same call with
+    out_s2d=False followed by space_to_depth (the 's2d2' entry handoff)."""
+    from mcmda_tpu.ops import blocks
+
+    cin, cout = 8, 8
+    params, state = blocks.residual_block_init(jax.random.key(1), cin, cout,
+                                               stride=2)
+    x2 = s2d.space_to_depth(_rand(10, (2, 16, 16, cin)))
+    ref, st_ref = blocks.residual_block_apply_s2d_entry(
+        params, state, x2, train=train)
+    got2, st_got = blocks.residual_block_apply_s2d_entry(
+        params, state, x2, train=train, out_s2d=True)
+    np.testing.assert_allclose(np.asarray(s2d.depth_to_space(got2, cout)),
+                               np.asarray(ref), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(st_got), jax.tree.leaves(st_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("layout", ["s2d", "s2d2"])
+def test_s2d_falls_back_on_odd_size(tiny_config, layout):
     """Odd spatial sizes can't block 2x2; the path must fall back to NHWC
     silently and agree with it."""
-    cfg_s = tiny_config.segmenter
+    cfg_s = dataclasses.replace(tiny_config.segmenter, thin_layout=layout)
     cfg_n = dataclasses.replace(cfg_s, thin_layout="nhwc")
     params, state = segmenter.init(jax.random.key(0), cfg_s)
     x = _rand(7, (1, 33, 33, 3))
